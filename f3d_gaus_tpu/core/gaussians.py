@@ -37,6 +37,37 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float =
                       sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]], -1)
 
 
+def view2gaussian_mb(means: jnp.ndarray, scales: jnp.ndarray,
+                     quats: jnp.ndarray, world_view: jnp.ndarray):
+    """Cancellation-free packing of the GOF ray quadratic: (M, b) with
+    M = S^-1 Rv^T (3x3) and b = S^-1 t2 (3,), where Rv/t2 are as in
+    `view2gaussian`.  For a view ray d the scaled Gaussian-frame point is
+    g(t) = t (M d) + b, so with a = M d:
+
+        AA = |a|^2,  BB = 2 a.b,  CC = |b|^2,
+        min_value = |a x b|^2 / |a|^2   (sum of squares — stable in f32),
+        normal = M^T a  (== Sigma d).
+
+    This replaces the reference's 10-float packing whose `CC - BB^2/(4 AA)`
+    suffers catastrophic cancellation when the camera is many Gaussian
+    sigmas away (CC ~ 1e4-1e5 in the F3D-Gaus scenes) — the reason
+    forward.cu:255,522 resorts to double.  TPUs have no fast f64; this
+    algebraic fix is strictly more accurate than the CUDA original.
+
+    Returns (M (P, 3, 3), b (P, 3)), float32.
+    """
+    R = quat_to_rotmat(quats)
+    W = world_view[:3, :3]
+    Rw2v = W.T
+    Rv = jnp.einsum('ij,pjk->pik', Rw2v, R)
+    t = means @ Rw2v.T + world_view[3, :3]
+    t2 = -jnp.einsum('pji,pj->pi', Rv, t)
+    s_inv = 1.0 / jnp.sqrt(scales.astype(jnp.float32) ** 2 + 1e-7)
+    M = s_inv[..., :, None] * jnp.swapaxes(Rv, -1, -2)   # S^-1 Rv^T
+    b = s_inv * t2
+    return M.astype(jnp.float32), b.astype(jnp.float32)
+
+
 def view2gaussian(means: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
                   world_view: jnp.ndarray) -> jnp.ndarray:
     """The 10-float GOF ray-quadratic precompute (forward.cu:168-279).
@@ -164,7 +195,8 @@ class Preprocessed(NamedTuple):
     opa_coef: jnp.ndarray      # (P,)  opacity * lowpass coefficient
     rgb: jnp.ndarray           # (P, 3) SH-evaluated color
     clamped: jnp.ndarray       # (P, 3) SH clamp mask
-    v2g: jnp.ndarray           # (P, 10) ray-quadratic precompute
+    v2g: jnp.ndarray           # (P, 10) CUDA-layout ray-quadratic precompute
+    v2g_mb: jnp.ndarray        # (P, 12) stable packing: M.reshape(9) ++ b
     radii: jnp.ndarray         # (P,)  int32 screen radius (0 = culled)
     valid: jnp.ndarray         # (P,)  bool — survives frustum/extent culling
 
@@ -199,10 +231,12 @@ def preprocess(means: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
     rgb, clamped = shmod.sh_color_from_gaussians(
         sh_degree, shs, means, jnp.asarray(camera.cam_center))
     v2g = view2gaussian(means, scales, quats, world_view)
+    M, b = view2gaussian_mb(means, scales, quats, world_view)
+    v2g_mb = jnp.concatenate([M.reshape(M.shape[0], 9), b], -1)
 
     valid = in_front & nondegenerate
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
     opa = opacities.reshape(opacities.shape[0]) * coef
     return Preprocessed(depths=p_view[..., 2], means2d=mean2d, conic=conic,
                         opa_coef=opa, rgb=rgb, clamped=clamped, v2g=v2g,
-                        radii=radii, valid=valid)
+                        v2g_mb=v2g_mb, radii=radii, valid=valid)
