@@ -14,15 +14,19 @@ fully vectorized windowed search:
   * 10-bit-per-axis Morton codes (coord2Morton, simple_knn.cu:41-61) via
     int bit-interleaving — pure jnp integer ops;
   * ONE `jax.lax.sort` by code (TPU-native radix sort);
-  * candidates = a +/-W window in Morton order, gathered as a (P, 2W)
-    matrix — a single gather, no divergence;
-  * top-3 via three masked row minimums (K is tiny and fixed).
+  * candidates = the union of +/-W windows along SEVERAL SHIFTED Morton
+    curves (a single Morton curve has systematic misses at cell-boundary
+    crossings; shifted copies of the curve are the standard fix for
+    space-filling-curve KNN) — gathered as one (P, S*2W) matrix;
+  * per-row sort by distance with carried ids, duplicate-id masking, then
+    top-3 (K is tiny and fixed).
 
-The +/-3-seeded exact re-scan of the reference is replaced by a wider
-window (default 48 ≈ 16x the CUDA seed window): approximate in adversarial
-point sets, indistinguishable for the uniform/cluster distributions that
-occur in scale init (see tests/test_knn.py for measured agreement with the
-exact oracle).  `mean_dist3_exact` is the O(P^2) chunked oracle.
+The +/-3-seeded exact AABB re-scan of the reference is replaced by this
+candidate union: approximate for adversarial point sets, but with multiple
+shifts the miss rate is tiny for the distributions that occur in scale
+init, and any error strictly OVERestimates the distance (a missed neighbor
+can only make the reported distance larger) — see tests/test_knn.py for
+measured agreement.  `mean_dist3_exact` is the O(P^2) chunked oracle.
 """
 from __future__ import annotations
 
@@ -44,12 +48,20 @@ def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
-def morton_codes(points: jnp.ndarray) -> jnp.ndarray:
-    """30-bit 3D Morton codes on the bounding box of `points` (P, 3)."""
+def morton_codes(points: jnp.ndarray, shift: float = 0.0,
+                 scale: float = 1023.0) -> jnp.ndarray:
+    """30-bit 3D Morton codes on the bounding box of `points` (P, 3).
+
+    `shift` (in quantization-grid units, up to 1023 - scale) translates the
+    whole domain before quantization: shifted copies of the curve have their
+    coarse cell boundaries in different places, which is what makes the
+    multi-curve candidate union (Chan-style shifted-grid KNN) work.
+    """
     lo = jnp.min(points, axis=0)
     hi = jnp.max(points, axis=0)
     ext = jnp.maximum(hi - lo, 1e-12)
-    q = jnp.clip(((points - lo) / ext) * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+    q = jnp.clip(((points - lo) / ext) * scale + shift, 0.0, 1023.0)
+    q = q.astype(jnp.uint32)
     x, y, z = _expand_bits(q[:, 0]), _expand_bits(q[:, 1]), _expand_bits(q[:, 2])
     return (x | (y << jnp.uint32(1)) | (z << jnp.uint32(2))).astype(jnp.uint32)
 
@@ -68,32 +80,49 @@ def _top3_mean(d2: jnp.ndarray) -> jnp.ndarray:
     return total / K
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def mean_dist3(points: jnp.ndarray, window: int = 48) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("window", "shifts"))
+def mean_dist3(points: jnp.ndarray, window: int = 32,
+               shifts: int = 6) -> jnp.ndarray:
     """Approximate mean squared distance to the 3 nearest neighbors.
 
     points: (P, 3) float32.  Returns (P,) float32 — the distCUDA2 contract
-    (spatial.cu:15-26).  `window` = Morton-order candidates examined on each
-    side of every point.
+    (spatial.cu:15-26).  `window` = candidates gathered on each side of
+    every point along each of `shifts` shifted Morton curves; the union is
+    deduplicated by candidate id before the top-3 selection.
     """
     points = points.astype(jnp.float32)
     P = points.shape[0]
-    codes = morton_codes(points)
-    order = jnp.argsort(codes)             # radix sort on TPU
-    sorted_pts = points[order]
-
+    big = jnp.finfo(jnp.float32).max
     offs = jnp.concatenate([jnp.arange(-window, 0), jnp.arange(1, window + 1)])
-    idx = jnp.arange(P)[:, None] + offs[None, :]            # (P, 2W)
-    valid = (idx >= 0) & (idx < P)
-    idx = jnp.clip(idx, 0, P - 1)
-    cand = sorted_pts[idx]                                   # (P, 2W, 3)
-    diff = cand - sorted_pts[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(valid, d2, jnp.finfo(jnp.float32).max)
-    mean3_sorted = _top3_mean(d2)
 
-    out = jnp.zeros(P, jnp.float32).at[order].set(mean3_sorted)
-    return out
+    # leave room for the largest shift: quantize with `scale`, shift by
+    # i * (1023 - scale) / (shifts - 1)
+    scale = 1023.0 * (2.0 / (shifts + 1.0))
+    cand_ids = []
+    for s in range(shifts):
+        shift = s * (1023.0 - scale) / max(shifts - 1, 1)
+        order = jnp.argsort(morton_codes(points, shift=shift, scale=scale))
+        rank = jnp.zeros(P, jnp.int32).at[order].set(
+            jnp.arange(P, dtype=jnp.int32))
+        idx = rank[:, None] + offs[None, :]                  # (P, 2W) ranks
+        valid = (idx >= 0) & (idx < P)
+        ids = order[jnp.clip(idx, 0, P - 1)]                 # original ids
+        cand_ids.append(jnp.where(valid, ids, P))            # P = sentinel
+    cand = jnp.concatenate(cand_ids, axis=1)                 # (P, S*2W)
+
+    cand_c = jnp.clip(cand, 0, P - 1)
+    diff = points[cand_c] - points[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(cand == P, big, d2)
+
+    # dedup: row-sort by (d2, id); duplicates become adjacent equal pairs
+    d2s, ids_s = jax.lax.sort((d2, cand), num_keys=2, dimension=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((P, 1), bool), ids_s[:, 1:] == ids_s[:, :-1]], axis=1)
+    d2s = jnp.where(dup, big, d2s)
+    # after masking, the 3 smallest are among the first 3 + (#masked<=S-1)
+    head = d2s[:, : 3 * shifts]
+    return _top3_mean(head)
 
 
 def mean_dist3_exact(points: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
@@ -116,7 +145,7 @@ def mean_dist3_exact(points: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
     return out[:P]
 
 
-def initial_log_scales(points: jnp.ndarray, window: int = 48) -> jnp.ndarray:
+def initial_log_scales(points: jnp.ndarray, window: int = 32) -> jnp.ndarray:
     """log(sqrt(clamp(dist2, 1e-7))) per point, tiled to 3 axes — the
     isotropic scale init of GaussianModel.create_from_pcd
     (scene/gaussian_model.py:132-135)."""

@@ -56,10 +56,10 @@ class TestWindowedKNN:
         got = np.asarray(knn.mean_dist3(jnp.asarray(pts)))
         ref = brute_force(pts)
         rel = np.abs(got - ref) / np.maximum(ref, 1e-12)
-        # windowed search is exact for nearly every point; tiny tail error
-        assert np.mean(rel < 1e-5) > 0.98
+        # multi-shift union finds the exact 3-NN for nearly every point
+        assert np.mean(rel < 1e-5) > 0.995
         assert np.median(rel) < 1e-6
-        assert (got >= ref - 1e-6).all()   # approximation can only overshoot
+        assert (got >= ref - 1e-6).all()   # a missed neighbor only overshoots
 
     def test_clustered_cloud(self):
         rng = np.random.default_rng(3)
@@ -69,7 +69,7 @@ class TestWindowedKNN:
         got = np.asarray(knn.mean_dist3(jnp.asarray(pts)))
         ref = brute_force(pts)
         rel = np.abs(got - ref) / np.maximum(ref, 1e-12)
-        assert np.mean(rel < 1e-4) > 0.95
+        assert np.mean(rel < 1e-4) > 0.99
 
     def test_log_scales_shape_and_clamp(self):
         pts = jnp.zeros((16, 3))   # degenerate: all identical points
