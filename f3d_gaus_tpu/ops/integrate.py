@@ -157,6 +157,76 @@ def _integrate_jit(points, v2g_mb, opa, point_list, pair_valid, tile_start,
     return alpha.reshape(-1)[:Q], color.reshape(-1, 3)[:Q]
 
 
+@functools.partial(jax.jit, static_argnames=("statics", "sh_degree",
+                                              "kernel_size", "pair_cap"))
+def _min_alpha_jit(means3d, scales, quats, opacities, shs, points,
+                   world_views, full_projs, cam_centers,
+                   statics: IntegrateStatics, sh_degree, kernel_size,
+                   pair_cap):
+    """min over views of alpha_integrated, one compiled program.
+
+    The mesh pipeline's hot loop (reference visualize.py:448-462 runs 129
+    sequential CUDA integrate launches per evaluation; here the whole view
+    sweep is ONE jitted lax.map with a running minimum).
+    """
+    from ..core.cameras import Camera
+
+    def one_view(carry, packed):
+        wv, fp, cc = packed
+        cam = Camera(wv, fp, cc, statics.width, statics.height,
+                     statics.width / (2.0 * statics.focal_x),
+                     statics.height / (2.0 * statics.focal_y))
+        pre = G.preprocess(means3d, scales, quats, opacities, shs, sh_degree,
+                           cam, kernel_size)
+        bng = B.bin_gaussians(pre.means2d, pre.radii, pre.depths,
+                              statics.width, statics.height, pair_cap)
+
+        Q = points.shape[0]
+        pc = statics.point_chunk
+        pad = (-Q) % pc
+        pts = jnp.pad(points, ((0, pad), (0, 0)))
+
+        def chunk_fn(chunk):
+            alpha, _ = _integrate_chunk(chunk, pre.v2g_mb, pre.opa_coef,
+                                        bng.point_list, bng.pair_valid,
+                                        bng.tile_start, bng.tile_count,
+                                        wv, fp, statics)
+            return alpha
+
+        alpha = jax.lax.map(chunk_fn, pts.reshape(-1, pc, 3)).reshape(-1)[:Q]
+        return jnp.minimum(carry, alpha), None
+
+    init = jnp.ones(points.shape[0], jnp.float32)
+    out, _ = jax.lax.scan(one_view, init,
+                          (world_views, full_projs, cam_centers))
+    return out
+
+
+def integrate_min_alpha(means3d, scales, quats, opacities, shs,
+                        world_views, full_projs, cam_centers, points, *,
+                        width: int, height: int, tan_fovx: float,
+                        tan_fovy: float, sh_degree: int = 1,
+                        kernel_size: float = 0.0, pair_cap: int = 1 << 18,
+                        max_per_tile: int = 1024, chunk: int = 128,
+                        point_chunk: int = 1 << 14):
+    """min_v alpha_integrated(points; view v) over a stack of cameras.
+
+    world_views/full_projs: (V, 4, 4); cam_centers: (V, 3); points (Q, 3).
+    """
+    grid_x = (width + BLOCK - 1) // BLOCK
+    grid_y = (height + BLOCK - 1) // BLOCK
+    statics = IntegrateStatics(
+        width=width, height=height, grid_x=grid_x, grid_y=grid_y,
+        focal_x=width / (2.0 * tan_fovx), focal_y=height / (2.0 * tan_fovy),
+        max_per_tile=max_per_tile, chunk=chunk, point_chunk=point_chunk)
+    return _min_alpha_jit(
+        jnp.asarray(means3d), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opacities), jnp.asarray(shs),
+        jnp.asarray(points, jnp.float32), jnp.asarray(world_views),
+        jnp.asarray(full_projs), jnp.asarray(cam_centers), statics,
+        sh_degree, kernel_size, pair_cap)
+
+
 def integrate_points(means3d, scales, quats, opacities, shs, camera, points,
                      *, sh_degree: int = 1, kernel_size: float = 0.0,
                      pair_cap: int = 1 << 18, max_per_tile: int = 1024,
