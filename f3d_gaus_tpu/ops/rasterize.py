@@ -484,7 +484,7 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
            sh_degree: int = 1, kernel_size: float = 0.0,
            scale_modifier: float = 1.0, pair_cap: int = 1 << 18,
            max_per_tile: int = 1024, chunk: int = 128,
-           colors_precomp=None, means2d_stats=None):
+           colors_precomp=None, means2d_stats=None, mask=None):
     """Render one Gaussian set through one camera.  The TPU-native
     counterpart of the reference's rasterize_gaussians + GOF settings
     (diff_gof_rasterization/__init__.py:21-307).
@@ -496,6 +496,10 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
     """
     pre = G.preprocess(means3d, scales, quats, opacities, shs, sh_degree,
                        camera, kernel_size, scale_modifier)
+    if mask is not None:
+        # fixed-capacity training: dead slots are culled exactly like
+        # frustum-failed gaussians (radii = 0 -> no tile pairs)
+        pre = pre._replace(radii=jnp.where(mask, pre.radii, 0))
     if colors_precomp is not None:
         rgb = colors_precomp
     else:
