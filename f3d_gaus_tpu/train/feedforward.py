@@ -1,12 +1,32 @@
 """Feed-forward trainer: UNet predictor + differentiable renderer end-to-end.
 
-The reference releases only config keys for this
+The reference releases only config keys for this training stage
 (config/imagenetgs_256x256_v1.yaml:5-11 — bs 7, lr 6e-7, 300k steps; loss
-weights under opt.*); the training script itself is absent.  This module
-provides the TPU-native training step: predictor forward (canonical view) ->
-render at the input + one cycle view -> photometric L1 + (1-SSIM) + alpha /
-distortion regularizers -> adam.  It is the step that `__graft_entry__.
-dryrun_multichip` shards over a device mesh.
+weights under opt.*, yaml:50-113); the training script itself is absent
+from the repo.  This module implements the training step those keys
+describe, with every loss the config names:
+
+  w_rgb / lambda_ssim  — photometric recon of the canonical view
+  w_depth              — rendered depth vs the input (mono) depth
+  w_normal             — rendered normal vs depth-derived normal
+  w_alpha              — coverage (alpha -> 1 on ImageNet full frames)
+  w_tv                 — total variation on rendered depth
+  w_distortion         — GOF/2DGS distortion regularizer
+  w_warping            — photometric warp consistency: the input image
+                         warped into a novel view via the novel view's
+                         rendered depth vs the novel render
+  w_cycle (yaml w_prop)— cycle consistency: the rendered novel view fed
+                         BACK through the predictor, its gaussians rendered
+                         at the canonical camera, compared to the input
+                         (detach + clip of the cycle input per
+                         yaml:79-81 detach_cycle_input/clip_cycle_input)
+
+w_perceptual / w_clip require pretrained VGG/CLIP towers that are not in
+this image (zero-egress) — they are accepted in LossWeights but must stay
+0; setting them raises.
+
+It is the step that `__graft_entry__.dryrun_multichip` shards over a
+device mesh.
 """
 from __future__ import annotations
 
@@ -21,6 +41,22 @@ from ..models import predictor as P
 from ..pipeline import renderer
 from ..pipeline.config import PipelineConfig
 from . import losses
+
+
+class LossWeights(NamedTuple):
+    """yaml opt.* weights (config/imagenetgs_256x256_v1.yaml:50-113)."""
+    w_rgb: float = 1.0
+    lambda_ssim: float = 0.2
+    w_depth: float = 2.0
+    w_normal: float = 0.2
+    w_alpha: float = 1.0
+    w_tv: float = 0.1
+    w_distortion: float = 0.0
+    w_warping: float = 10.0
+    w_cycle: float = 10.0          # yaml w_prop
+    w_perceptual: float = 0.0      # needs VGG tower; must stay 0 here
+    w_clip: float = 0.0            # needs CLIP tower; must stay 0 here
+    warp_alpha_threshold: float = 0.9   # yaml model.threshold
 
 
 class TrainState(NamedTuple):
@@ -40,44 +76,103 @@ def init_state(key, cfg: PipelineConfig, lr: float = 6e-7) -> TrainState:
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
+def _predict(params, cfg, pcfg, images_nchw, alpha, depth, v2w, quat):
+    """One predictor call: feat = [rgb | alpha-or-ones] (visualize.py:282)."""
+    B = images_nchw.shape[0]
+    feat = jnp.concatenate([images_nchw, alpha], 1)        # (B, 4, H, W)
+    feat = jnp.transpose(feat, (0, 2, 3, 1))[:, None]      # (B, 1, H, W, 4)
+    v2w = jnp.broadcast_to(v2w[None, None], (B, 1, 4, 4))
+    quat = jnp.broadcast_to(quat[None, None], (B, 1, 4))
+    return P.apply(params, pcfg, feat, v2w, quat, depth[:, None])
+
+
 def loss_fn(params, cfg: PipelineConfig, pcfg, batch, cameras_pack,
-            lambda_ssim: float = 0.2, lambda_dist: float = 0.0):
-    """Photometric reconstruction: render the predicted Gaussians back at
-    the canonical view and at one orbit view; L1 + lambda*(1-SSIM) against
-    the inputs (the cycle-consistency core of the method), plus optional
-    distortion regularizer (yaml opt.* weights)."""
+            w: LossWeights = LossWeights()):
+    """Full multi-term objective.  batch: images (B, H, W, 3) in [0, 1],
+    depth (B, H, W).  cameras_pack from make_cameras_pack."""
+    if w.w_perceptual or w.w_clip:
+        raise NotImplementedError(
+            "perceptual/clip towers are not available in this environment")
     images, depth = batch["images"], batch["depth"]
     (cano_v2w, cano_quat, cano_wv, cano_fp, cano_cc,
-     orbit_wv, orbit_fp, orbit_cc) = cameras_pack
+     orbit_v2w, orbit_quat, orbit_wv, orbit_fp, orbit_cc) = cameras_pack
     B = images.shape[0]
+    target = jnp.transpose(images, (0, 3, 1, 2))            # NCHW
 
-    feat = jnp.concatenate([images, jnp.ones_like(images[..., :1])], -1)
-    g = P.apply(params, pcfg, feat[:, None],
-                jnp.broadcast_to(cano_v2w[None, None], (B, 1, 4, 4)),
-                jnp.broadcast_to(cano_quat[None, None], (B, 1, 4)),
-                depth[:, None])
+    g = _predict(params, cfg, pcfg, target, jnp.ones_like(target[:, :1]),
+                 depth, cano_v2w, cano_quat)
 
     bg = jnp.zeros(3, jnp.float32)
-    views = renderer.render_views_batched(g, cano_wv[None], cano_fp[None],
-                                          cano_cc[None], bg, cfg)
+    wvs = jnp.stack([cano_wv, orbit_wv])
+    fps = jnp.stack([cano_fp, orbit_fp])
+    ccs = jnp.stack([cano_cc, orbit_cc])
+    views = renderer.render_views_batched(g, wvs, fps, ccs, bg, cfg)
 
-    target = jnp.transpose(images, (0, 3, 1, 2))        # NCHW
-    recon = views["render"][:, 0]
+    recon = views["render"][:, 0]                            # canonical
+    r_depth = views["rendered_depth"][:, 0]                  # (B, 1, H, W)
+    r_alpha = views["rendered_alpha"][:, 0]
+    r_normal = views["rendered_normal"][:, 0]
+    d_normal = views["depth_normal"][:, 0]
+
+    terms = {}
     l1 = losses.l1(recon, target)
     ssim_v = losses.ssim(recon, target)
-    loss = l1 + lambda_ssim * (1.0 - ssim_v)
-    if lambda_dist:
-        loss = loss + lambda_dist * jnp.abs(views["distortion_map"]).mean()
+    terms["rgb"] = w.w_rgb * (l1 + w.lambda_ssim * (1.0 - ssim_v))
+
+    cover = (r_alpha > 0.5)
+    terms["depth"] = w.w_depth * losses.masked_l1(
+        r_depth, depth[:, None], cover)
+    terms["normal"] = w.w_normal * losses.normal_consistency(
+        r_normal, d_normal, cover[:, 0])
+    terms["alpha"] = w.w_alpha * jnp.abs(r_alpha - 1.0).mean()
+    terms["tv"] = w.w_tv * losses.tv(r_depth)
+    if w.w_distortion:
+        terms["distortion"] = w.w_distortion * jnp.abs(
+            views["distortion_map"][:, 0]).mean()
+
+    # --- warping: input image resampled into the orbit view via the orbit
+    # view's rendered depth, photometric vs the orbit render ---------------
+    if w.w_warping:
+        o_render = views["render"][:, 1]
+        o_depth = views["rendered_depth"][:, 1]
+        o_alpha = views["rendered_alpha"][:, 1]
+
+        def warp_one(img, dep):
+            return losses.warp_from_view(
+                img, cano_wv, cano_fp, dep, orbit_wv, cfg.resolution,
+                cfg.resolution, cfg.tan_fov, cfg.tan_fov)
+        warped, valid = jax.vmap(warp_one)(target,
+                                           jax.lax.stop_gradient(o_depth))
+        mask = valid[:, None] & (o_alpha > w.warp_alpha_threshold)
+        terms["warping"] = w.w_warping * losses.masked_l1(
+            warped, o_render, mask)
+
+    # --- cycle: re-predict from the (detached, clipped) orbit render and
+    # reconstruct the canonical view from the cycled gaussians -------------
+    if w.w_cycle:
+        o_render = jnp.clip(jax.lax.stop_gradient(views["render"][:, 1]),
+                            0.0, 1.0)
+        o_alpha = jax.lax.stop_gradient(views["rendered_alpha"][:, 1])
+        o_depth = jax.lax.stop_gradient(views["rendered_depth"][:, 1, 0])
+        g2 = _predict(params, cfg, pcfg, o_render, o_alpha, o_depth,
+                      orbit_v2w, orbit_quat)
+        cyc = renderer.render_views_batched(
+            g2, cano_wv[None], cano_fp[None], cano_cc[None], bg, cfg)
+        terms["cycle"] = w.w_cycle * losses.l1(cyc["render"][:, 0], target)
+
+    loss = functools.reduce(jnp.add, terms.values())
     aux = {"l1": l1, "ssim": ssim_v,
-           "psnr": losses.psnr(recon, target).mean()}
+           "psnr": losses.psnr(recon, target).mean(),
+           **{f"loss_{k}": v for k, v in terms.items()}}
     return loss, aux
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "pcfg", "lr"))
+@functools.partial(jax.jit, static_argnames=("cfg", "pcfg", "lr", "weights"))
 def train_step(state: TrainState, cfg: PipelineConfig, pcfg, batch,
-               cameras_pack, lr: float = 6e-7):
+               cameras_pack, lr: float = 6e-7,
+               weights: LossWeights = LossWeights()):
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, cfg, pcfg, batch, cameras_pack)
+        state.params, cfg, pcfg, batch, cameras_pack, weights)
     updates, opt_state = make_optimizer(lr).update(grads, state.opt_state,
                                                    state.params)
     params = optax.apply_updates(state.params, updates)
@@ -85,11 +180,13 @@ def train_step(state: TrainState, cfg: PipelineConfig, pcfg, batch,
 
 
 def make_cameras_pack(cfg: PipelineConfig, dataset):
-    """Host-side camera constants for the training step."""
+    """Host-side camera constants for the training step: the canonical
+    camera plus one orbit (cycle) camera."""
     from ..pipeline import cycle
     cano = dataset.camera_set
     agg = cycle.aggregation_cameras(cfg, dataset.inverse_first_camera)
     return tuple(jnp.asarray(x) for x in (
         cano.view_to_world[0], cano.cv2wT_quat[0], cano.world_view[0],
         cano.full_proj[0], cano.cam_centers[0],
-        agg.world_view[1], agg.full_proj[1], agg.cam_centers[1]))
+        agg.view_to_world[1], agg.cv2wT_quat[1], agg.world_view[1],
+        agg.full_proj[1], agg.cam_centers[1]))

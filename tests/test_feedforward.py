@@ -1,0 +1,104 @@
+"""Feed-forward trainer: full yaml-opt loss set + sharded step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f3d_gaus_tpu.core import cameras as C
+from f3d_gaus_tpu.pipeline.config import PipelineConfig
+from f3d_gaus_tpu.train import feedforward as F
+from f3d_gaus_tpu.train import losses
+
+
+def tiny_cfg(res=32):
+    return PipelineConfig(resolution=res, base_dim=32, num_blocks=1,
+                          attn_resolutions=(8,), model_channels=32,
+                          pair_cap=1 << 14, max_per_tile=128, chunk=32)
+
+
+class _DS:
+    def __init__(self, cfg):
+        self.camera_set, self.inverse_first_camera = C.canonical_camera_set(
+            cfg.fov_deg, cfg.radius, cfg.look_at_z, cfg.z_near, cfg.z_far)
+
+
+def make_batch(rng, B, res):
+    return {"images": jnp.asarray(rng.uniform(size=(B, res, res, 3)),
+                                  jnp.float32),
+            "depth": jnp.asarray(rng.uniform(6.8, 8.5, size=(B, res, res)),
+                                 jnp.float32)}
+
+
+class TestLossPrimitives:
+    def test_tv_zero_on_constant(self):
+        assert float(losses.tv(jnp.ones((2, 1, 8, 8)))) == 0.0
+
+    def test_masked_l1_ignores_masked(self, rng):
+        a = jnp.asarray(rng.normal(size=(1, 3, 4, 4)), jnp.float32)
+        b = a.at[:, :, 0, 0].add(100.0)
+        mask = jnp.ones((1, 1, 4, 4)).at[:, :, 0, 0].set(0.0)
+        assert float(losses.masked_l1(a, b, mask)) < 1e-6
+
+    def test_normal_consistency_aligned(self):
+        n = jnp.zeros((1, 3, 4, 4)).at[:, 2].set(1.0)
+        assert float(losses.normal_consistency(n, n)) < 1e-6
+        assert abs(float(losses.normal_consistency(n, -n)) - 2.0) < 1e-6
+
+    def test_warp_identity(self, rng):
+        """Warping a view into ITSELF with its own depth is the identity
+        resample (up to bilinear at the same grid points)."""
+        cfg = tiny_cfg(16)
+        ds = _DS(cfg)
+        cam = ds.camera_set
+        img = jnp.asarray(rng.uniform(size=(3, 16, 16)), jnp.float32)
+        depth = jnp.full((1, 16, 16), 7.667, jnp.float32)
+        warped, valid = losses.warp_from_view(
+            img, jnp.asarray(cam.world_view[0]), jnp.asarray(cam.full_proj[0]),
+            depth, jnp.asarray(cam.world_view[0]), 16, 16,
+            cfg.tan_fov, cfg.tan_fov)
+        err = np.abs(np.asarray(warped - img))[:, np.asarray(valid)]
+        assert err.max() < 1e-4
+        assert np.asarray(valid).mean() > 0.9
+
+
+class TestTrainStep:
+    def test_all_terms_finite_and_decrease(self, rng):
+        cfg = tiny_cfg()
+        pcfg = cfg.predictor_config()
+        ds = _DS(cfg)
+        pack = F.make_cameras_pack(cfg, ds)
+        state = F.init_state(jax.random.PRNGKey(0), cfg, lr=1e-4)
+        batch = make_batch(rng, 2, cfg.resolution)
+
+        p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+        losses_seen = []
+        for _ in range(3):
+            state, loss, aux = F.train_step(state, cfg, pcfg, batch, pack,
+                                            lr=1e-4)
+            losses_seen.append(float(loss))
+        assert all(np.isfinite(losses_seen))
+        for k in ("loss_rgb", "loss_depth", "loss_normal", "loss_alpha",
+                  "loss_tv", "loss_warping", "loss_cycle"):
+            assert np.isfinite(float(aux[k])), k
+        # gradients flow: parameters moved (random targets are not
+        # multi-view-consistent, so monotone descent is not asserted here;
+        # learnability is covered by the per-scene fit test)
+        p1 = jax.tree_util.tree_leaves(state.params)[0]
+        assert float(jnp.abs(p1 - p0).max()) > 0.0
+
+    def test_perceptual_gated(self, rng):
+        cfg = tiny_cfg()
+        pcfg = cfg.predictor_config()
+        ds = _DS(cfg)
+        pack = F.make_cameras_pack(cfg, ds)
+        state = F.init_state(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(NotImplementedError):
+            F.loss_fn(state.params, cfg, pcfg,
+                      make_batch(rng, 1, cfg.resolution), pack,
+                      F.LossWeights(w_perceptual=1.0))
+
+
+class TestShardedStep:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as GE
+        GE.dryrun_multichip(4)
