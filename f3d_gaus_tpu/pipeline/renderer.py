@@ -44,7 +44,8 @@ def depth_to_normal(world_view, depth, width, height, tan_fovx, tan_fovy):
     dx = points[2:, 1:-1] - points[:-2, 1:-1]
     dy = points[1:-1, 2:] - points[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    # rsqrt(|n|^2 + eps): finite value AND gradient at n = 0 (empty pixels)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, -1, keepdims=True) + 1e-12)
     out = jnp.zeros_like(points)
     out = out.at[1:-1, 1:-1].set(n)
     return jnp.transpose(out, (2, 0, 1))
@@ -68,7 +69,7 @@ def render_gaussians(gaussians: dict, b: int, world_view, full_proj,
         pair_cap=cfg.pair_cap, max_per_tile=cfg.max_per_tile, chunk=cfg.chunk)
 
     rn = out["rendered_normal"]
-    rn = rn / (jnp.linalg.norm(rn, axis=0, keepdims=True) + 1e-12)
+    rn = rn * jax.lax.rsqrt(jnp.sum(rn * rn, axis=0, keepdims=True) + 1e-12)
     c2w = jnp.linalg.inv(world_view.T)
     normal_world = (c2w[:3, :3] @ rn.reshape(3, -1)).reshape(rn.shape)
     dn = depth_to_normal(world_view, out["rendered_depth"], cfg.resolution,
