@@ -98,11 +98,13 @@ def cycle_aggregate(params, cfg: PipelineConfig, pcfg, gaussians,
     return merged, views
 
 
-def run_nvs(params, cfg: PipelineConfig, dataset, images, depth, bg=None):
+def run_nvs(params, cfg: PipelineConfig, dataset, images, depth, bg=None,
+            return_first=False):
     """End-to-end single-batch NVS: first forward -> cycle -> orbit renders.
 
     images: (B, H, W, 3); depth: (B, H, W).  Returns (merged_gaussians,
-    nvs renders dict (B, V, ...), aggregation views dict).
+    nvs renders dict (B, V, ...), aggregation views dict[, first-forward
+    gaussians when return_first]).
     """
     pcfg = cfg.predictor_config()
     bg = jnp.zeros(3, jnp.float32) if bg is None else jnp.asarray(bg)
@@ -122,4 +124,6 @@ def run_nvs(params, cfg: PipelineConfig, dataset, images, depth, bg=None):
     renders = renderer.render_views_batched(
         merged, jnp.asarray(nvs.world_view), jnp.asarray(nvs.full_proj),
         jnp.asarray(nvs.cam_centers), bg, cfg)
+    if return_first:
+        return merged, renders, agg_views, g0
     return merged, renders, agg_views
