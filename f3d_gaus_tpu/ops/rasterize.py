@@ -1,29 +1,46 @@
 """The differentiable GOF tile rasterizer, TPU-native formulation (XLA).
 
-Design — not a port.  The CUDA kernel (reference forward.cu:409-612) runs one
-thread per pixel looping over depth-sorted Gaussians with data-dependent
-early exit; its backward (backward.cu:634-955) re-walks the list in reverse
-with atomicAdds.  Neither maps to a vector machine.  This module restates
-the same math as a *parallel compositing* problem:
+Design — not a port.  The CUDA kernel (reference forward.cu:409-612) runs
+one thread per pixel looping over depth-sorted Gaussians with
+data-dependent early exit; its backward (backward.cu:634-955) re-walks the
+list in reverse with atomicAdds.  Neither maps to a vector machine.  This
+module restates the same math as a *parallel compositing* problem:
 
-  * per tile, the ray-quadratic terms AA/BB and the ray-space normals of a
-    chunk of Gaussians are (pixels x 6/3) @ (6/3 x chunk) MATMULS — MXU work;
-  * transmittance T_i = prod_{j<i}(1 - a_j) is an exclusive cumulative
-    product along the Gaussian axis;
-  * the CUDA early-exit (done once T(1-a) < 1e-4) is provably equivalent to
-    masking every Gaussian at or after the FIRST position where the
-    unstopped prefix satisfies the bound — a cumulative-or, not control flow;
-  * the 2DGS distortion accumulators are exclusive cumulative sums;
-  * backward: per-Gaussian gradients are computed per (tile, slot) and
-    reduced with one deterministic segment_sum — replacing atomicAdd with a
-    reproducible reduction;
+  * every per-pixel quantity of the GOF ray quadratic is evaluated from
+    PER-GAUSSIAN LINEAR FORMS in the pixel ray d = (u, v, 1):
+        a   = M d                     (3 linear forms; AA = |a|^2)
+        BB  = 2 d . (M^T b)           (1 linear form)
+        num = |b x a|^2 = |K d|^2,    K = [b]_x M   (3 linear forms)
+        min_value = num / AA          (== CC - BB^2/4AA for ANY M, by
+                                       |a|^2|b|^2 - (a.b)^2 = |a x b|^2)
+        normal = M^T a
+    Every quantity is a sum of SQUARES of linear forms, so the f32
+    evaluation is cancellation-free — strictly more accurate than the CUDA
+    double-precision patch-up of CC - BB^2/4AA (forward.cu:255,511-522) —
+    and, crucially, exact as a *function of arbitrary (M, b)* (no
+    orthogonality assumption), so its jax.vjp IS the reference gradient
+    chain; the whole chunk evaluation is ~60 fused elementwise ops on
+    (tiles, PIX, chunk) with no per-(pixel, gaussian) 3-vector tensors
+    beyond the compositing outputs;
+  * per-tile windows are gathered ONCE into a dense (tiles, K, F) feature
+    tensor — the scan over depth chunks just slices it (the CUDA
+    shared-memory staging, forward.cu:479-490, without re-gathers);
+  * transmittance and the CUDA early-exit (T(1-a) < 1e-4 halts the pixel)
+    are exclusive cumulative products / or-scans along the chunk axis —
+    masking, not control flow;
+  * backward: the compositing chain (suffix color/normal sums, T
+    reconstruction, the reference's exact detachment choices) is
+    hand-written, but the quadratic-evaluation gradients are obtained by
+    `jax.vjp` of the SAME chunk evaluation the forward used — correct by
+    construction; per-(tile, slot) gradients are stacked by the scan and
+    reduced with ONE deterministic segment_sum (replacing atomicAdd);
   * CUDA's "resize buffers and relaunch" becomes static capacities
-    (pair_cap, max_per_tile) chosen by a two-phase count (see
-    render_auto_caps).
+    (pair_cap, max_per_tile).
 
-The backward implements the reference's exact gradient semantics, including
-its intentional detachments — see ops/rasterize_ref.py's docstring for the
-list.  Numerical parity vs the sequential oracle is tested to ~1e-5.
+The backward implements the reference's exact gradient semantics,
+including its intentional detachments and pass-through clamps — see
+ops/rasterize_ref.py's docstring.  Parity vs the sequential oracle is
+tested to ~1e-5 (tests/test_rasterize_parity.py).
 """
 from __future__ import annotations
 
@@ -42,6 +59,7 @@ ALPHA_EPS = 1.0 / 255.0
 STOP_T = 1e-4
 BLOCK = 16
 PIX = BLOCK * BLOCK
+NFEAT = 25   # M9 | K9 | bb3 | rgb3 | opa1
 
 
 class RasterStatics(NamedTuple):
@@ -80,68 +98,76 @@ def _tile_rays(s: RasterStatics):
     return u, v
 
 
-def _chunk_terms(u, v, mb_c, opa_c, win_valid_c):
-    """Shared fwd/bwd per-chunk math, from the cancellation-free (M, b)
-    packing (core.gaussians.view2gaussian_mb).
+def _expand_features(v2g_mb, rgb, opa):
+    """Per-gaussian form coefficients from the (M, b) packing, (P, NFEAT):
+    M itself, K = [b]_x M (so |K d|^2 = |b x (M d)|^2), M^T b, |b|^2."""
+    P = v2g_mb.shape[0]
+    M = v2g_mb[:, 0:9].reshape(P, 3, 3)
+    b = v2g_mb[:, 9:12]
 
-    For ray d = (u, v, 1) and a = M d:
-        AA = |a|^2,  BB = 2 a.b,  CC = |b|^2,
-        min_value = |a x b|^2 / AA      (sum of squares — stable in f32,
-                                         vs the CUDA double-precision
-                                         CC - BB^2/4AA, forward.cu:511-522),
-        normal = M^T a  (== Sigma^-1-metric normal, == the CUDA A d).
+    zero = jnp.zeros_like(b[:, 0])
+    bx = jnp.stack([
+        jnp.stack([zero, -b[:, 2], b[:, 1]], -1),
+        jnp.stack([b[:, 2], zero, -b[:, 0]], -1),
+        jnp.stack([-b[:, 1], b[:, 0], zero], -1)], -2)      # [b]_x
+    K = jnp.einsum('pij,pjk->pik', bx, M)
+    bb3 = jnp.einsum('pki,pk->pi', M, b)                    # M^T b
+    return jnp.concatenate([v2g_mb[:, 0:9], K.reshape(P, 9), bb3,
+                            rgb, opa[:, None]], axis=1)
 
-    u, v: (T, PIX); mb_c: (T, C, 12); opa_c: (T, C); win_valid_c: (T, C).
-    Returns dict with (T, PIX, C) scalars and (T, PIX, C, 3) vectors a, n.
+
+def _chunk_eval(feat_c, u, v):
+    """Evaluate one gaussian chunk against one tile's rays.
+
+    feat_c: (T, C, NFEAT); u, v: (T, PIX).  Returns per-(tile, pixel,
+    chunk) maps; all outputs (T, PIX, C) or (T, PIX, C, 3) for nn.
+    Differentiable in feat_c (the backward jax.vjp's through this).
     """
-    M = mb_c[..., 0:9].reshape(mb_c.shape[:-1] + (3, 3))   # (T, C, 3, 3)
-    b = mb_c[..., 9:12]                                     # (T, C, 3)
-    one = jnp.ones_like(u)
-    ray3 = jnp.stack([u, v, one], -1)                       # (T, PIX, 3)
+    e = lambda i: feat_c[:, None, :, i]                  # (T, 1, C)
+    U, V = u[..., None], v[..., None]                    # (T, PIX, 1)
+    m_ = [e(i) for i in range(9)]                        # row-major M
+    k_ = [e(9 + i) for i in range(9)]                    # row-major K
+    b0, b1, b2 = e(18), e(19), e(20)
+    opa = e(24)
 
-    a = jnp.einsum('tpm,tckm->tpck', ray3, M)               # a = M d   (MXU)
-    n = jnp.einsum('tpck,tckj->tpcj', a, M)                 # n = M^T a = A d
-
-    AA = jnp.sum(a * a, -1)
-    ab = jnp.einsum('tpck,tck->tpc', a, b)
-    BB = 2.0 * ab
-    bx = b[:, None, :, :]
-    cr0 = a[..., 1] * bx[..., 2] - a[..., 2] * bx[..., 1]
-    cr1 = a[..., 2] * bx[..., 0] - a[..., 0] * bx[..., 2]
-    cr2 = a[..., 0] * bx[..., 1] - a[..., 1] * bx[..., 0]
+    a0 = m_[0] * U + m_[1] * V + m_[2]                   # a = M d
+    a1 = m_[3] * U + m_[4] * V + m_[5]
+    a2 = m_[6] * U + m_[7] * V + m_[8]
+    AA = a0 * a0 + a1 * a1 + a2 * a2                     # |a|^2
+    BB = 2.0 * (b0 * U + b1 * V + b2)                    # 2 a.b (exact id.)
+    k0 = k_[0] * U + k_[1] * V + k_[2]                   # K d = b x a
+    k1 = k_[3] * U + k_[4] * V + k_[5]
+    k2 = k_[6] * U + k_[7] * V + k_[8]
+    num = k0 * k0 + k1 * k1 + k2 * k2                    # |b x a|^2
 
     AA_safe = jnp.where(AA == 0, 1e-12, AA)
     t = -BB / (2.0 * AA_safe)
-    min_value = (cr0 * cr0 + cr1 * cr1 + cr2 * cr2) / AA_safe
-    power = jnp.minimum(0.0, -0.5 * min_value)
+    # == CC - BB^2/(4 AA) for arbitrary (M, b); sum-of-squares form, so
+    # its f32 error is relative, not absolute (cf. forward.cu:511-522 f64).
+    min_value = num / AA_safe
+    # pass-through clamps (CUDA keeps full gradients through min():
+    # backward.cu:912 uses G regardless of the 0.99 clamp)
+    power = _passthrough_min(-0.5 * min_value, 0.0)
     Gv = jnp.exp(power)
-    alpha_raw = jnp.minimum(0.99, opa_c[:, None, :] * Gv)
-    vc = (t > NEAR_PLANE) & (alpha_raw >= ALPHA_EPS) & win_valid_c[:, None, :]
-    alpha = jnp.where(vc, alpha_raw, 0.0)
+    alpha_raw = _passthrough_min(opa * Gv, 0.99)
 
-    t_safe = jnp.where(vc, t, 1.0)
-    m = (FAR_PLANE * t_safe - FAR_PLANE * NEAR_PLANE) / ((FAR_PLANE - NEAR_PLANE) * t_safe)
-    n0, n1, n2 = n[..., 0], n[..., 1], n[..., 2]
-    length = jnp.sqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-7)
-    return dict(AA=AA_safe, BB=BB, t=t, t_safe=t_safe, alpha=alpha,
-                alpha_raw=alpha_raw, G=Gv, vc=vc, m=m, a=a, n=n,
-                M=M, b=b, ray3=ray3,
-                n0=n0, n1=n1, n2=n2, length=length)
+    nx = m_[0] * a0 + m_[3] * a1 + m_[6] * a2            # n = M^T a = A d
+    ny = m_[1] * a0 + m_[4] * a1 + m_[7] * a2
+    nz = m_[2] * a0 + m_[5] * a1 + m_[8] * a2
+    length = jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-7)
+    inv_len = 1.0 / length
+    nn = jnp.stack([-nx * inv_len, -ny * inv_len, -nz * inv_len], -1)
+
+    t_pos = jnp.maximum(t, 1e-6)     # m-mapping guard; masked downstream
+    m = (FAR_PLANE * t_pos - FAR_PLANE * NEAR_PLANE) / (
+        (FAR_PLANE - NEAR_PLANE) * t_pos)
+    return {"alpha_raw": alpha_raw, "G": Gv, "t": t, "m": m, "nn": nn,
+            "rgb": feat_c[:, None, :, 21:24] + jnp.zeros_like(U[..., None])}
 
 
-def _gather_chunk(point_list, pair_valid, tile_start, tile_count, chunk_idx,
-                  s: RasterStatics, *arrays):
-    """Gather chunk `chunk_idx` of each tile's window from per-Gaussian
-    arrays.  Returns (gids (T, C), win_valid (T, C), gathered arrays...)."""
-    C = s.chunk
-    offs = chunk_idx * C + jnp.arange(C, dtype=jnp.int32)[None, :]   # (1, C)
-    idx = tile_start[:, None] + offs                                  # (T, C)
-    win_valid = (offs < tile_count[:, None]) & (offs < s.max_per_tile)
-    idx_c = jnp.clip(idx, 0, point_list.shape[0] - 1)
-    gids = point_list[idx_c]
-    win_valid = win_valid & pair_valid[idx_c]
-    out = [a[gids] for a in arrays]
-    return gids, win_valid, out
+def _passthrough_min(x, cap):
+    """min(x, cap) in value, identity in gradient (CUDA clamp semantics)."""
+    return x + jax.lax.stop_gradient(jnp.minimum(x, cap) - x)
 
 
 def _exclusive_cumprod(x, axis):
@@ -154,55 +180,70 @@ def _exclusive_cumprod(x, axis):
 
 
 def _exclusive_cumsum(x, axis):
-    incl = jnp.cumsum(x, axis=axis)
-    return incl - x
+    return jnp.cumsum(x, axis=axis) - x
+
+
+def _gather_windows(point_list, pair_valid, tile_start, tile_count,
+                    s: RasterStatics, feat, extra=None):
+    """Dense per-tile windows: (T, K) ids/valid + (T, K, F) features."""
+    K = s.max_per_tile
+    offs = jnp.arange(K, dtype=jnp.int32)[None, :]
+    idx = tile_start[:, None] + offs
+    win_valid = offs < jnp.minimum(tile_count, K)[:, None]
+    idx_c = jnp.clip(idx, 0, point_list.shape[0] - 1)
+    gids = point_list[idx_c]
+    win_valid = win_valid & pair_valid[idx_c]
+    wfeat = feat[gids]
+    wextra = extra[gids] if extra is not None else None
+    return gids, win_valid, wfeat, wextra
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _composite_fwd_impl(v2g_mb, rgb, opa, point_list, pair_valid, tile_start,
-                        tile_count, bg, s: RasterStatics):
+def _composite_fwd_impl(feat, point_list, pair_valid, tile_start, tile_count,
+                        bg, s: RasterStatics):
     """Returns (out (num_tiles, PIX, 9), aux: RenderAux)."""
     T_tiles = s.grid_x * s.grid_y
     u, v = _tile_rays(s)
     n_chunks = max(s.max_per_tile // s.chunk, 1)
+    C = s.chunk
+    _, win_valid, wfeat, _ = _gather_windows(point_list, pair_valid,
+                                             tile_start, tile_count, s, feat)
 
     def body(carry, chunk_idx):
         (T_run, stopped, Crgb, Cnn, Calpha, depth, max_pos, last_pos,
          d1, d2, dist) = carry
-        gids, win_valid, (mb_c, rgb_c, opa_c) = _gather_chunk(
-            point_list, pair_valid, tile_start, tile_count, chunk_idx, s,
-            v2g_mb, rgb, opa)
-        ct = _chunk_terms(u, v, mb_c, opa_c, win_valid)
-        alpha, vc, t_safe, m = ct['alpha'], ct['vc'], ct['t_safe'], ct['m']
+        feat_c = jax.lax.dynamic_slice_in_dim(wfeat, chunk_idx * C, C, 1)
+        wv_c = jax.lax.dynamic_slice_in_dim(win_valid, chunk_idx * C, C, 1)
+        ct = _chunk_eval(feat_c, u, v)
+        t, m = ct["t"], ct["m"]
+        vc = (t > NEAR_PLANE) & (ct["alpha_raw"] >= ALPHA_EPS) \
+            & wv_c[:, None, :]
+        alpha = jnp.where(vc, ct["alpha_raw"], 0.0)
 
         om = 1.0 - alpha
         T_before = T_run[..., None] * _exclusive_cumprod(om, axis=-1)
         # CUDA stop: first valid g with T(1-a) < 1e-4 halts the pixel; that
         # gaussian itself does not contribute (forward.cu:536-541).
-        stop = vc & (T_before * (1.0 - ct['alpha_raw']) < STOP_T)
+        stop = vc & (T_before * (1.0 - ct["alpha_raw"]) < STOP_T)
         stopped_incl = jnp.cumsum(stop.astype(jnp.int32), axis=-1) >= 1
         contrib = vc & (~stopped_incl) & (~stopped[..., None])
         w = jnp.where(contrib, T_before * alpha, 0.0)
 
-        pos = (chunk_idx * s.chunk + jnp.arange(s.chunk, dtype=jnp.int32))[None, None, :]
-        # rgb / normal / alpha accumulation
-        Crgb = Crgb + jnp.einsum('tpc,tcj->tpj', w, rgb_c)
-        inv_len = 1.0 / ct['length']
-        Cnn = Cnn + jnp.stack([
-            jnp.sum(w * (-ct['n0'] * inv_len), -1),
-            jnp.sum(w * (-ct['n1'] * inv_len), -1),
-            jnp.sum(w * (-ct['n2'] * inv_len), -1)], -1)
+        pos = (chunk_idx * C + jnp.arange(C, dtype=jnp.int32))[None, None, :]
+        Crgb = Crgb + jnp.einsum('tpc,tpcj->tpj', w, ct["rgb"])
+        Cnn = Cnn + jnp.einsum('tpc,tpcj->tpj', w, ct["nn"])
         Calpha = Calpha + jnp.sum(w, -1)
 
         # median depth: t of the LAST contributor with T_before > 0.5
         sel = contrib & (T_before > 0.5)
+        t_masked = jnp.where(sel, t, 0.0)
         mpos = jnp.max(jnp.where(sel, pos, -1), axis=-1)
         has = mpos >= 0
-        local = jnp.clip(mpos - chunk_idx * s.chunk, 0, s.chunk - 1)
-        t_at = jnp.take_along_axis(t_safe, local[..., None], axis=-1)[..., 0]
+        onehot = pos == mpos[..., None]
+        t_at = jnp.sum(jnp.where(onehot, t_masked, 0.0), axis=-1)
         depth = jnp.where(has, t_at, depth)
         max_pos = jnp.where(has, mpos, max_pos)
         lpos = jnp.max(jnp.where(contrib, pos, -1), axis=-1)
@@ -224,11 +265,11 @@ def _composite_fwd_impl(v2g_mb, rgb, opa, point_list, pair_valid, tile_start,
         return (T_run, stopped, Crgb, Cnn, Calpha, depth, max_pos, last_pos,
                 d1, d2, dist), None
 
-    dt = v2g_mb.dtype
+    dt = feat.dtype
     z = lambda *sh: jnp.zeros((T_tiles, PIX) + tuple(sh), dt)
     init = (jnp.ones((T_tiles, PIX), dt),                        # T_run
             jnp.zeros((T_tiles, PIX), bool),                     # stopped
-            z(3), z(3), z(),                                     # Crgb Cnn Calpha
+            z(3), z(3), z(),                                     # Crgb Cnn Ca
             z(),                                                 # depth
             jnp.full((T_tiles, PIX), -1, jnp.int32),             # max_pos
             jnp.full((T_tiles, PIX), -1, jnp.int32),             # last_pos
@@ -250,15 +291,18 @@ def _composite_fwd_impl(v2g_mb, rgb, opa, point_list, pair_valid, tile_start,
 # backward — reference gradient semantics (see module docstring)
 # ---------------------------------------------------------------------------
 
-def _composite_bwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
+def _composite_bwd_impl(feat, conic, means2d, point_list, pair_valid,
                         tile_start, tile_count, bg, s: RasterStatics,
-                        out, aux: RenderAux, g_out):
-    """Returns per-Gaussian grads (dv2g_mb (P,12), drgb (P,3), dopa (P,),
-    dmean2d_stats (P,3)) via deterministic segment reduction."""
-    T_tiles = s.grid_x * s.grid_y
-    P = v2g_mb.shape[0]
+                        aux: RenderAux, g_out):
+    """Returns (d_feat (P, NFEAT), dmean2d_stats (P, 3)) via one
+    deterministic segment reduction over the scan-stacked chunk grads."""
+    P = feat.shape[0]
     u, v = _tile_rays(s)
     n_chunks = max(s.max_per_tile // s.chunk, 1)
+    C = s.chunk
+    extra = jnp.concatenate([conic, means2d], axis=1)           # (P, 5)
+    gids, win_valid, wfeat, wextra = _gather_windows(
+        point_list, pair_valid, tile_start, tile_count, s, feat, extra)
 
     gL_rgb = g_out[..., 0:3]
     gL_nn = g_out[..., 3:6]
@@ -278,149 +322,115 @@ def _composite_bwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid
         return jnp.flip(jnp.cumprod(jnp.flip(x, -1), -1), -1)
 
     def _rev_cumsum_excl(x):
-        # sum over j > i along the last axis
         incl = jnp.flip(jnp.cumsum(jnp.flip(x, -2), -2), -2)
         return incl - x
 
     def body(carry, chunk_idx):
         """Reverse traversal, the structure of backward.cu:738-953: suffix
-        sums are accumulated exactly from zero, T is reconstructed from
-        T_final by division (T = T/(1-alpha), :816), and the contributor
-        mask re-uses the forward's last_pos (the n_contrib skip, :764)."""
-        (T_right, S_rgb_c, S_nn_c, dv2g_p, drgb_p, dopa_p, dm2d_p) = carry
-        gids, win_valid, (mb_c, rgb_c, opa_c, conic_c, m2d_c) = _gather_chunk(
-            point_list, pair_valid, tile_start, tile_count, chunk_idx, s,
-            v2g_mb, rgb, opa, conic, means2d)
-        ct = _chunk_terms(u, v, mb_c, opa_c, win_valid)
-        alpha, vc = ct['alpha'], ct['vc']
+        sums accumulate exactly from zero, T is reconstructed from T_final
+        by division (T = T/(1-alpha), :816), the contributor mask re-uses
+        the forward's last_pos (the n_contrib skip, :764), and the chunk
+        cotangents are pulled back through jax.vjp of _chunk_eval."""
+        (T_right, S_rgb_c, S_nn_c) = carry
+        feat_c = jax.lax.dynamic_slice_in_dim(wfeat, chunk_idx * C, C, 1)
+        wv_c = jax.lax.dynamic_slice_in_dim(win_valid, chunk_idx * C, C, 1)
+        ex_c = jax.lax.dynamic_slice_in_dim(wextra, chunk_idx * C, C, 1)
 
-        pos = (chunk_idx * s.chunk + jnp.arange(s.chunk, dtype=jnp.int32))[None, None, :]
+        ct, vjp_fn = jax.vjp(lambda f: _chunk_eval(f, u, v), feat_c)
+        alpha_raw, t = ct["alpha_raw"], ct["t"]
+        vc = (t > NEAR_PLANE) & (alpha_raw >= ALPHA_EPS) & wv_c[:, None, :]
+
+        pos = (chunk_idx * C + jnp.arange(C, dtype=jnp.int32))[None, None, :]
         contrib = vc & (pos <= aux.last_pos[..., None])
-        alpha = jnp.where(contrib, alpha, 0.0)
+        alpha = jnp.where(contrib, alpha_raw, 0.0)
         om = 1.0 - alpha
         sp_incl = _rev_cumprod_incl(om)              # prod_{j>=g} om_j
         T_before = T_right[..., None] / sp_incl
-        T_next = T_before * om                       # == T_right / prod_{j>g}
+        T_next = T_before * om
         T_next_safe = jnp.where(contrib, T_next, 1.0)
         w = jnp.where(contrib, T_before * alpha, 0.0)
 
         # exact suffix sums (reverse accumulation from zero, like CUDA)
-        wc = w[..., None] * rgb_c[:, None, :, :]                  # (T,PIX,C,3)
-        inv_len = 1.0 / ct['length']
-        nn = jnp.stack([-ct['n0'] * inv_len, -ct['n1'] * inv_len,
-                        -ct['n2'] * inv_len], -1)                  # (T,PIX,C,3)
-        wnn = w[..., None] * nn
+        wc = w[..., None] * ct["rgb"]
+        wnn = w[..., None] * ct["nn"]
         S_rgb = S_rgb_c[..., None, :] + _rev_cumsum_excl(wc)
         S_nn = S_nn_c[..., None, :] + _rev_cumsum_excl(wnn)
-
         om_safe = jnp.where(contrib, om, 1.0)
 
         # dL/dalpha (backward.cu:822-893): color + normal + bg terms
         accum_rec = S_rgb / T_next_safe[..., None]
-        d_alpha = jnp.einsum('tpj,tpcj->tpc', gL_rgb,
-                             rgb_c[:, None, :, :] - accum_rec)
+        d_alpha = jnp.einsum('tpj,tpcj->tpc', gL_rgb, ct["rgb"] - accum_rec)
         accum_nrec = S_nn / T_next_safe[..., None]
-        d_alpha = d_alpha + jnp.einsum('tpj,tpcj->tpc', gL_nn, nn - accum_nrec)
+        d_alpha = d_alpha + jnp.einsum('tpj,tpcj->tpc', gL_nn,
+                                       ct["nn"] - accum_nrec)
         d_alpha = d_alpha * T_before
         d_alpha = d_alpha + (-T_final[..., None] / om_safe) * bg_dot[..., None]
         d_alpha = jnp.where(contrib, d_alpha, 0.0)
 
         # distortion -> t (detached weights; unnormalized — the reference's
-        # own structure, backward.cu:839-852 + 879-882)
-        dmax_t_dd = (FAR_PLANE * NEAR_PLANE) / ((FAR_PLANE - NEAR_PLANE) * ct['t_safe'] ** 2)
-        dL_dmax_t = (2.0 * w * (ct['m'] * final_A[..., None] - final_D1[..., None])
-                     * gL_reg[..., None] * dmax_t_dd)
-        dL_dt = dL_dmax_t + jnp.where(pos == aux.max_pos[..., None],
-                                      gL_depth[..., None], 0.0)
-        dL_dt = jnp.where(contrib, dL_dt, 0.0)
+        # own structure, backward.cu:839-852 + 879-882), via the m chain
+        d_m = 2.0 * w * (ct["m"] * final_A[..., None] - final_D1[..., None]) \
+            * gL_reg[..., None]
+        d_m = jnp.where(contrib, d_m, 0.0)
+        d_t_depth = jnp.where((pos == aux.max_pos[..., None]) & contrib,
+                              gL_depth[..., None], 0.0)
 
-        # alpha -> G -> quadratic (clamps pass gradients through, as in CUDA)
-        dL_dG = opa_c[:, None, :] * d_alpha
-        dopa_contrib = ct['G'] * d_alpha                           # note: no coef chain
-        dL_dpower = dL_dG * ct['G']
-        dL_dmin = -0.5 * dL_dpower
-        AA, BB = ct['AA'], ct['BB']
-        ratio = BB / AA
-        dL_dA = dL_dmin * ratio * ratio / 4.0 + dL_dt * BB / (2.0 * AA * AA)
-        dL_dB = dL_dmin * (-ratio) / 2.0 + dL_dt * (-1.0) / (2.0 * AA)
-        dL_dC = dL_dmin
+        # normal channel cotangent: gL_nn weighted by alpha T (the
+        # normalization chain lives inside _chunk_eval/vjp)
+        d_nn = jnp.where(contrib[..., None],
+                         w[..., None] * gL_nn[:, :, None, :], 0.0)
 
-        # normal-channel gradient through the normalization (backward.cu:860-877)
-        dL_dnn = (alpha * T_before)[..., None] * gL_nn[..., None, :]
-        dL_dnn = jnp.where(contrib[..., None], dL_dnn, 0.0)
-        n_vec = ct['n']
-        dL_dlen = jnp.sum(dL_dnn * n_vec, -1) / (ct['length'] ** 2)
-        dL_dnormal = (-dL_dnn + dL_dlen[..., None] * n_vec) / ct['length'][..., None]
-        # fold dL_dA into the normal cotangent: AA = n . d exactly (n = A d),
-        # the same fold the CUDA code does via dL_dnormal += dL_dA * d.
-        ray3 = ct['ray3']
-        gn = dL_dnormal + dL_dA[..., None] * ray3[:, :, None, :]
+        # rgb cotangent
+        d_rgb = jnp.where(contrib[..., None],
+                          w[..., None] * gL_rgb[:, :, None, :], 0.0)
 
-        # map (dL_dn, dL_dBB, dL_dCC) -> (dL_dM, dL_db).  With a = M d,
-        # n = M^T a:  dL_dM = M (X + X^T) + 2 b yB^T,  dL_db = 2 M yB + 2 sC b,
-        # where X = sum_p d_p gn_p^T, yB = sum_p dL_dBB,p d_p, sC = sum_p dL_dCC.
-        # All pixel reductions are MXU contractions over PIX.
-        M_c, b_c = ct['M'], ct['b']
-        X = jnp.einsum('tpm,tpcn->tcmn', ray3, gn)
-        Xs = X + jnp.swapaxes(X, -1, -2)
-        yB = jnp.einsum('tpc,tpm->tcm', dL_dB, ray3)
-        sC = jnp.sum(dL_dC, axis=1)
-        g_M = (jnp.einsum('tckj,tcjq->tckq', M_c, Xs)
-               + 2.0 * b_c[..., :, None] * yB[..., None, :])
-        g_b = 2.0 * jnp.einsum('tckm,tcm->tck', M_c, yB) + 2.0 * sC[..., None] * b_c
-        g_mb = jnp.concatenate(
-            [g_M.reshape(g_M.shape[:2] + (9,)), g_b], -1)           # (T,C,12)
-        g_rgb = jnp.einsum('tpc,tpj->tcj', w, gL_rgb)
-        g_opa = jnp.sum(dopa_contrib, axis=1)
+        cots = {"alpha_raw": d_alpha, "G": jnp.zeros_like(d_alpha),
+                "t": d_t_depth, "m": d_m, "nn": d_nn, "rgb": d_rgb}
+        (d_feat_c,) = vjp_fn(cots)
 
         # densification stats (conic-based, backward.cu:896-909)
-        dx = m2d_c[..., 0][:, None, :] - px[..., None]
-        dy = m2d_c[..., 1][:, None, :] - py[..., None]
-        Gv = ct['G']
+        dL_dG = jnp.where(contrib, feat_c[:, None, :, 24] * d_alpha, 0.0)
+        Gv = ct["G"]
+        dx = ex_c[..., 3][:, None, :] - px[..., None]
+        dy = ex_c[..., 4][:, None, :] - py[..., None]
         gdx, gdy = Gv * dx, Gv * dy
-        co = conic_c[:, None, :, :]
-        dG_ddelx = -gdx * co[..., 0] - gdy * co[..., 1]
-        dG_ddely = -gdy * co[..., 2] - gdx * co[..., 1]
+        dG_ddelx = -gdx * ex_c[..., 0][:, None, :] \
+            - gdy * ex_c[..., 1][:, None, :]
+        dG_ddely = -gdy * ex_c[..., 2][:, None, :] \
+            - gdx * ex_c[..., 1][:, None, :]
         gx = dL_dG * dG_ddelx * (0.5 * s.width)
         gy = dL_dG * dG_ddely * (0.5 * s.height)
-        gx = jnp.where(contrib, gx, 0.0)
-        gy = jnp.where(contrib, gy, 0.0)
         g_m2d = jnp.stack([jnp.sum(gx, 1), jnp.sum(gy, 1),
                            jnp.sum(jnp.abs(gx) + jnp.abs(gy), 1)], -1)
-
-        # scatter into pair slots (each slot written once per scan)
-        offs = chunk_idx * s.chunk + jnp.arange(s.chunk, dtype=jnp.int32)[None, :]
-        slot = jnp.clip(tile_start[:, None] + offs, 0, point_list.shape[0] - 1)
-        wv = (offs < tile_count[:, None]) & (offs < s.max_per_tile)
-        flat = slot.reshape(-1)
-        wvf = wv.reshape(-1)
-        dv2g_p = dv2g_p.at[flat].add(jnp.where(wvf[:, None], g_mb.reshape(-1, 12), 0.0))
-        drgb_p = drgb_p.at[flat].add(jnp.where(wvf[:, None], g_rgb.reshape(-1, 3), 0.0))
-        dopa_p = dopa_p.at[flat].add(jnp.where(wvf, g_opa.reshape(-1), 0.0))
-        dm2d_p = dm2d_p.at[flat].add(jnp.where(wvf[:, None], g_m2d.reshape(-1, 3), 0.0))
 
         # advance suffix carries (moving toward the front)
         S_rgb_c = S_rgb_c + jnp.sum(wc, axis=-2)
         S_nn_c = S_nn_c + jnp.sum(wnn, axis=-2)
         T_right = T_right / jnp.prod(om_safe, axis=-1)
-        return (T_right, S_rgb_c, S_nn_c, dv2g_p, drgb_p, dopa_p, dm2d_p), None
+        return (T_right, S_rgb_c, S_nn_c), (d_feat_c, g_m2d)
 
-    dt = v2g_mb.dtype
+    dt = feat.dtype
+    T_tiles = s.grid_x * s.grid_y
     z3 = jnp.zeros((T_tiles, PIX, 3), dt)
-    init = (T_final.astype(dt), z3, z3,
-            jnp.zeros((point_list.shape[0], 12), dt),
-            jnp.zeros((point_list.shape[0], 3), dt),
-            jnp.zeros((point_list.shape[0],), dt),
-            jnp.zeros((point_list.shape[0], 3), dt))
-    (_, _, _, dv2g_p, drgb_p, dopa_p, dm2d_p), _ = jax.lax.scan(
+    init = (T_final.astype(dt), z3, z3)
+    _, (d_feat_chunks, d_m2d_chunks) = jax.lax.scan(
         body, init, jnp.arange(n_chunks - 1, -1, -1, dtype=jnp.int32))
 
-    seg = point_list
-    dv2g = jax.ops.segment_sum(dv2g_p, seg, num_segments=P)
-    drgb = jax.ops.segment_sum(drgb_p, seg, num_segments=P)
-    dopa = jax.ops.segment_sum(dopa_p, seg, num_segments=P)
-    dm2d = jax.ops.segment_sum(dm2d_p, seg, num_segments=P)
-    return dv2g, drgb, dopa, dm2d
+    # (n_chunks, T, C, F) -> (T, K, F); chunks were emitted in REVERSE order
+    def to_slab(x):
+        x = jnp.flip(x, 0)
+        x = jnp.moveaxis(x, 0, 1)                    # (T, n_chunks, C, F)
+        return x.reshape(T_tiles, n_chunks * C, *x.shape[3:])
+
+    slab_feat = to_slab(d_feat_chunks)
+    slab_m2d = to_slab(d_m2d_chunks)
+
+    seg = jnp.where(win_valid, gids, P).reshape(-1)
+    d_feat = jax.ops.segment_sum(
+        slab_feat.reshape(-1, NFEAT), seg, num_segments=P + 1)[:P]
+    d_m2d = jax.ops.segment_sum(
+        slab_m2d.reshape(-1, 3), seg, num_segments=P + 1)[:P]
+    return d_feat, d_m2d
 
 
 # ---------------------------------------------------------------------------
@@ -435,31 +445,38 @@ def composite(v2g_mb, rgb, opa, conic, means2d, means2d_stats, point_list,
     means2d_stats (a zeros tensor whose cotangent receives the
     densification statistics — the JAX analog of the reference's
     screenspace_points dummy).  Returns (out (tiles, PIX, 9), aux)."""
-    out, aux = _composite_fwd_impl(v2g_mb, rgb, opa, point_list, pair_valid,
+    feat = _expand_features(v2g_mb, rgb, opa)
+    out, aux = _composite_fwd_impl(feat, point_list, pair_valid,
                                    tile_start, tile_count, bg, statics)
     return out, aux
 
 
 def _composite_fwd(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
-                   point_list, pair_valid, tile_start, tile_count, bg, statics):
-    out, aux = _composite_fwd_impl(v2g_mb, rgb, opa, point_list, pair_valid,
+                   point_list, pair_valid, tile_start, tile_count, bg,
+                   statics):
+    feat = _expand_features(v2g_mb, rgb, opa)
+    out, aux = _composite_fwd_impl(feat, point_list, pair_valid,
                                    tile_start, tile_count, bg, statics)
-    res = (v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
-           tile_start, tile_count, bg, out, aux)
+    res = (v2g_mb, rgb, opa, feat, conic, means2d, point_list, pair_valid,
+           tile_start, tile_count, bg, aux)
     return (out, aux), res
 
 
 def _composite_bwd(statics, res, cts):
-    (v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
-     tile_start, tile_count, bg, out, aux) = res
+    (v2g_mb, rgb, opa, feat, conic, means2d, point_list, pair_valid,
+     tile_start, tile_count, bg, aux) = res
     g_out, _ = cts   # aux is non-differentiable
-    dv2g, drgb, dopa, dm2d = _composite_bwd_impl(
-        v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
-        tile_start, tile_count, bg, statics, out, aux, g_out)
-    zeros_like = jax.tree_util.tree_map(jnp.zeros_like,
-                                        (conic, means2d, point_list, pair_valid,
-                                         tile_start, tile_count, bg))
-    return (dv2g, drgb, dopa, zeros_like[0], zeros_like[1], dm2d,
+    d_feat, d_m2d = _composite_bwd_impl(
+        feat, conic, means2d, point_list, pair_valid, tile_start, tile_count,
+        bg, statics, aux, g_out)
+    # pull the feature cotangent back to (v2g_mb, rgb, opa) — the expansion
+    # is pure per-gaussian math, autodiff is exact
+    _, expand_vjp = jax.vjp(_expand_features, v2g_mb, rgb, opa)
+    d_mb, d_rgb, d_opa = expand_vjp(d_feat)
+    zeros_like = jax.tree_util.tree_map(
+        jnp.zeros_like, (conic, means2d, point_list, pair_valid,
+                         tile_start, tile_count, bg))
+    return (d_mb, d_rgb, d_opa, zeros_like[0], zeros_like[1], d_m2d,
             zeros_like[2], zeros_like[3], zeros_like[4], zeros_like[5],
             zeros_like[6])
 
@@ -491,8 +508,8 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
 
     Returns a dict mirroring render_predicted_more_v2_gof's output contract
     (src/gaussian_renderer/__init__.py:1059-1067): keys render (3,H,W),
-    rendered_normal (camera-space, unnormalized), rendered_depth, rendered_alpha,
-    distortion_map, plus radii, out9 and raster aux.
+    rendered_normal (camera-space, unnormalized), rendered_depth,
+    rendered_alpha, distortion_map, plus radii, out9 and raster aux.
     """
     pre = G.preprocess(means3d, scales, quats, opacities, shs, sh_degree,
                        camera, kernel_size, scale_modifier)
