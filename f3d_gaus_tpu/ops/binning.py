@@ -82,11 +82,15 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     overflow = total > pair_cap
 
     # slot j belongs to gaussian g = first index with offsets[g] > j.
-    # Scatter a 1 at every non-empty gaussian's first slot, cumsum: the
-    # running count of segment starts at or before j is exactly g + 1.
+    # Scatter a 1 at EVERY gaussian's exclusive offset (empty gaussians
+    # scatter a duplicate at the next non-empty gaussian's start, so the
+    # cumsum still counts them): the running count of segment starts at or
+    # before j is exactly g + 1 where g is the GLOBAL gaussian index.
+    # (Dropping empty segments here would make the cumsum a rank among
+    # non-empty gaussians only — wrong whenever a culled gaussian precedes
+    # a visible one, e.g. dead alive-mask slots in per-scene training.)
     slots = jnp.arange(pair_cap, dtype=jnp.int32)
     starts = offsets - count                          # exclusive offsets
-    starts = jnp.where(count > 0, starts, pair_cap)   # empty -> dropped
     marks = jnp.zeros(pair_cap, jnp.int32).at[starts].add(1, mode='drop')
     gauss = jnp.cumsum(marks) - 1
     pair_valid = slots < total

@@ -72,11 +72,15 @@ class TestTrainStep:
 
         p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
         losses_seen = []
-        for _ in range(3):
+        # >= 5 optimizer steps: the round-1 NaN regression (corrupt binning
+        # pair expansion once params move and gaussians get culled) only
+        # appeared at step 2+.
+        for _ in range(5):
             state, loss, aux = F.train_step(state, cfg, pcfg, batch, pack,
                                             lr=1e-4)
             losses_seen.append(float(loss))
-        assert all(np.isfinite(losses_seen))
+        assert all(np.isfinite(losses_seen)), losses_seen
+        assert losses_seen[-1] < losses_seen[0], losses_seen
         for k in ("loss_rgb", "loss_depth", "loss_normal", "loss_alpha",
                   "loss_tv", "loss_warping", "loss_cycle"):
             assert np.isfinite(float(aux[k])), k

@@ -50,6 +50,35 @@ class TestBinningParity:
             np.testing.assert_array_equal(got, ids,
                                           err_msg=f"tile {t} ordering differs")
 
+    def test_culled_gaussian_between_visible_ones(self, rng):
+        """Regression: a radii=0 gaussian INTERLEAVED between visible ones
+        (the state per-scene training reaches after any prune) must not
+        shift the pair expansion — slot owners are global gaussian indices,
+        not ranks among non-empty gaussians."""
+        cam, cloud = _setup(rng, n=5)
+        pre = _pre(cam, cloud)
+        radii = np.asarray(pre.radii).copy()
+        assert (radii > 0).all()
+        radii[1] = 0          # cull the second gaussian
+        radii[3] = 0          # and a middle one
+        radii_j = jnp.asarray(radii)
+        lists = rasterize_ref.build_tile_lists(
+            np.asarray(pre.means2d), radii,
+            np.asarray(pre.depths), np.asarray(pre.valid),
+            cam.width, cam.height)
+        bng = binning.bin_gaussians(pre.means2d, radii_j, pre.depths,
+                                    cam.width, cam.height, pair_cap=1 << 12)
+        pl = np.asarray(bng.point_list)
+        start = np.asarray(bng.tile_start)
+        count = np.asarray(bng.tile_count)
+        seen = set()
+        for t, ids in enumerate(lists):
+            got = pl[start[t]:start[t] + count[t]]
+            np.testing.assert_array_equal(got, ids)
+            seen.update(got.tolist())
+        assert 1 not in seen and 3 not in seen
+        assert {0, 2, 4} <= seen, "live gaussians after culled ones must render"
+
     def test_pair_count_and_overflow(self, rng):
         cam, cloud = _setup(rng)
         pre = _pre(cam, cloud)
