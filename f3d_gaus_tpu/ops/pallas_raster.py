@@ -1,0 +1,603 @@
+"""Pallas TPU kernels for the GOF tile compositing (forward + backward).
+
+This is the speed-of-light path the XLA scan in ops/rasterize.py prototypes
+(same math, same reference semantics — CUDA forward.cu:409-612 /
+backward.cu:634-955).  Where the CUDA kernel runs one *thread* per pixel
+looping over depth-sorted gaussians with divergent early exit, this kernel
+runs one *grid step* per (tile, depth-chunk) with
+
+  * pixels on the sublane axis (16x16 tile -> 256 sublanes) and the
+    gaussian chunk on the lane axis (C = 128 lanes) — every quantity is a
+    (256, 128) f32 vreg tile, no per-thread scalar work anywhere;
+  * per-tile accumulators (9 channels + T + distortion moments + stop
+    flags) resident in VMEM scratch across the chunk loop — zero HBM
+    traffic for the carry (the CUDA shared-memory staging, forward.cu:
+    456-490, maps to the auto-pipelined window BlockSpec);
+  * transmittance/early-stop as log-step lane scans (Hillis-Steele over
+    pltpu.roll) — cumsum/cumprod are not natively lowered by Mosaic;
+  * occupancy-bounded iteration: tile_count rides a scalar-prefetch ref;
+    chunks past a tile's count (or past saturation: every pixel's T below
+    the 1e-4 stop) skip both compute (pl.when) and the feature DMA (the
+    window index_map clamps to the last real chunk, so Mosaic re-uses the
+    already-fetched block);
+  * backward: reverse chunk traversal reconstructing T in LOG space
+    (T = T/(1-a) walking back, backward.cu:816 — division by a product of
+    up-to-128 (1-alpha) factors underflows f32, log-sum does not), suffix
+    color/normal sums collapsed to ONE scan each via the per-pixel
+    cotangent dot (sum_j gL_j * S_rgb[j] is a suffix sum of w * (gL.rgb)),
+    and the quadratic-form gradients taken by jax.vjp of the SAME _forms
+    the forward evaluates — inside the kernel;
+  * atomics (backward.cu:836-952) become a per-(tile, slot) gradient slab
+    reduced by one deterministic segment_sum outside the kernel.
+
+The public entry is composite_pallas(), signature-identical to
+rasterize.composite; rasterize.render(backend=...) dispatches.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import rasterize as R
+
+BLOCK = R.BLOCK
+PIX = R.PIX               # 256 pixels per tile
+C = 128                   # gaussians per chunk == lane width
+FPAD = 32                 # feature rows: 25 used + conic(3) + means2d(2) + pad
+NEAR_PLANE = R.NEAR_PLANE
+FAR_PLANE = R.FAR_PLANE
+ALPHA_EPS = R.ALPHA_EPS
+STOP_T = R.STOP_T
+
+# dwin slab rows 25..27 carry the densification-stats gradients
+# (dL/dmean2D.x, .y, abs) — rows 25..29 of the INPUT windows hold
+# conic (3) + means2d (2), which receive no gradient of their own.
+ROW_CONIC = 25
+ROW_M2D = 28
+
+# accf scratch channels
+AF_RGB = 0      # 0..2
+AF_NN = 3       # 3..5
+AF_DEPTH = 6
+AF_ALPHA = 7
+AF_DIST = 8
+AF_T = 9
+AF_D1 = 10
+AF_D2 = 11
+AF_STOPPED = 12
+
+
+# ---------------------------------------------------------------------------
+# lane scans (Hillis-Steele over pltpu.roll; Mosaic has no cumsum/cumprod)
+# ---------------------------------------------------------------------------
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _cumprod_excl(x):
+    lane = _lane_iota(x.shape)
+    n = x.shape[-1]
+    y = x
+    s = 1
+    while s < n:
+        y = y * jnp.where(lane >= s, pltpu.roll(y, s, axis=x.ndim - 1), 1.0)
+        s *= 2
+    return jnp.where(lane >= 1, pltpu.roll(y, 1, axis=x.ndim - 1), 1.0)
+
+
+def _cumsum_incl(x):
+    lane = _lane_iota(x.shape)
+    n = x.shape[-1]
+    y = x
+    s = 1
+    while s < n:
+        y = y + jnp.where(lane >= s, pltpu.roll(y, s, axis=x.ndim - 1), 0.0)
+        s *= 2
+    return y
+
+
+def _cumsum_excl(x):
+    lane = _lane_iota(x.shape)
+    y = _cumsum_incl(x)
+    return jnp.where(lane >= 1, pltpu.roll(y, 1, axis=x.ndim - 1), 0.0)
+
+
+def _cumsum_rev_incl(x):
+    lane = _lane_iota(x.shape)
+    n = x.shape[-1]
+    y = x
+    s = 1
+    while s < n:
+        y = y + jnp.where(lane < n - s, pltpu.roll(y, n - s, axis=x.ndim - 1),
+                          0.0)
+        s *= 2
+    return y
+
+
+def _cumsum_rev_excl(x):
+    lane = _lane_iota(x.shape)
+    n = x.shape[-1]
+    y = _cumsum_rev_incl(x)
+    return jnp.where(lane < n - 1, pltpu.roll(y, n - 1, axis=x.ndim - 1), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# quadratic-form evaluation — the (PIX, C) restatement of
+# rasterize._chunk_eval (same formulas; parity-tested against it)
+# ---------------------------------------------------------------------------
+
+def _passthrough_min(x, cap):
+    return x + jax.lax.stop_gradient(jnp.minimum(x, cap) - x)
+
+
+def _forms(W, U, V):
+    """W: (FPAD, C) feature rows (M9 | K9 | bb3 | rgb3 | opa1 | ...);
+    U, V: (PIX, 1) pixel ray coords.  Returns dict of (PIX, C) maps.
+    Differentiable in W — the backward kernel jax.vjp's through this."""
+    e = lambda i: W[i:i + 1, :]
+    a0 = e(0) * U + e(1) * V + e(2)
+    a1 = e(3) * U + e(4) * V + e(5)
+    a2 = e(6) * U + e(7) * V + e(8)
+    AA = a0 * a0 + a1 * a1 + a2 * a2
+    BB = 2.0 * (e(18) * U + e(19) * V + e(20))
+    k0 = e(9) * U + e(10) * V + e(11)
+    k1 = e(12) * U + e(13) * V + e(14)
+    k2 = e(15) * U + e(16) * V + e(17)
+    num = k0 * k0 + k1 * k1 + k2 * k2
+
+    AA_safe = jnp.where(AA == 0, 1e-12, AA)
+    t = -BB / (2.0 * AA_safe)
+    min_value = num / AA_safe
+    power = _passthrough_min(-0.5 * min_value, 0.0)
+    G = jnp.exp(power)
+    alpha_raw = _passthrough_min(e(24) * G, 0.99)
+
+    nx = e(0) * a0 + e(3) * a1 + e(6) * a2
+    ny = e(1) * a0 + e(4) * a1 + e(7) * a2
+    nz = e(2) * a0 + e(5) * a1 + e(8) * a2
+    length = jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-7)
+    inv_len = 1.0 / length
+
+    t_pos = jnp.maximum(t, 1e-6)
+    m = (FAR_PLANE * t_pos - FAR_PLANE * NEAR_PLANE) / (
+        (FAR_PLANE - NEAR_PLANE) * t_pos)
+    zero = jnp.zeros_like(AA)
+    return {"alpha_raw": alpha_raw, "G": G, "t": t, "m": m,
+            "n0": -nx * inv_len, "n1": -ny * inv_len, "n2": -nz * inv_len,
+            "r0": e(21) + zero, "r1": e(22) + zero, "r2": e(23) + zero}
+
+
+def _tile_uv(t, s: "R.RasterStatics"):
+    """Pixel-ray (u, v) of tile t, each (PIX, 1) f32."""
+    tx = t % s.grid_x
+    ty = t // s.grid_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    ix = p % BLOCK
+    iy = p // BLOCK
+    px = (tx * BLOCK + ix).astype(jnp.float32) + 0.5
+    py = (ty * BLOCK + iy).astype(jnp.float32) + 0.5
+    u = (px - s.width / 2.0) / s.focal_x
+    v = (py - s.height / 2.0) / s.focal_y
+    return u, v, px, py
+
+
+def _n_chunks(max_per_tile):
+    if max_per_tile % C != 0:
+        raise ValueError(
+            f"pallas backend needs max_per_tile % {C} == 0, got {max_per_tile}")
+    return max(max_per_tile // C, 1)
+
+
+def _cap_count(cnt, K):
+    return jnp.minimum(cnt, K)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(s, NCH, cnt_ref, win_ref, outf_ref, outi_ref, accf, acci,
+                stop_s):
+    t = pl.program_id(0)
+    k = pl.program_id(1)
+    K = NCH * C
+
+    @pl.when(k == 0)
+    def _():
+        col = jax.lax.broadcasted_iota(jnp.int32, (PIX, 16), 1)
+        accf[:] = jnp.where(col == AF_T, 1.0, 0.0)
+        acci[:] = jnp.full((PIX, 8), -1, jnp.int32)
+        stop_s[0] = 0
+
+    cnt = _cap_count(cnt_ref[t], K)
+    active = (k * C < cnt) & (stop_s[0] == 0)
+
+    @pl.when(active)
+    def _():
+        u, v, _, _ = _tile_uv(t, s)
+        W = win_ref[0, 0]
+        ct = _forms(W, u, v)
+        alpha_raw, tt, m = ct["alpha_raw"], ct["t"], ct["m"]
+
+        slotpos = k * C + _lane_iota((PIX, C))
+        vc = (tt > NEAR_PLANE) & (alpha_raw >= ALPHA_EPS) & (slotpos < cnt)
+        alpha = jnp.where(vc, alpha_raw, 0.0)
+        om = 1.0 - alpha
+
+        T_carry = accf[:, AF_T:AF_T + 1]
+        stopped_c = accf[:, AF_STOPPED:AF_STOPPED + 1] > 0.5
+        T_before = T_carry * _cumprod_excl(om)
+        stop = vc & (T_before * (1.0 - alpha_raw) < STOP_T)
+        stopped_incl = _cumsum_incl(stop.astype(jnp.float32)) >= 1.0
+        contrib = vc & (~stopped_incl) & (~stopped_c)
+        w = jnp.where(contrib, T_before * alpha, 0.0)
+
+        for j, key in enumerate(("r0", "r1", "r2")):
+            accf[:, AF_RGB + j] += jnp.sum(w * ct[key], axis=-1)
+        for j, key in enumerate(("n0", "n1", "n2")):
+            accf[:, AF_NN + j] += jnp.sum(w * ct[key], axis=-1)
+        accf[:, AF_ALPHA] += jnp.sum(w, axis=-1)
+
+        # median depth: t of the LAST contributor with T_before > 0.5
+        sel = contrib & (T_before > 0.5)
+        mpos = jnp.max(jnp.where(sel, slotpos, -1), axis=-1, keepdims=True)
+        has = mpos[:, 0] >= 0
+        t_at = jnp.sum(jnp.where(slotpos == mpos, jnp.where(sel, tt, 0.0),
+                                 0.0), axis=-1)
+        accf[:, AF_DEPTH] = jnp.where(has, t_at, accf[:, AF_DEPTH])
+        acci[:, 1] = jnp.where(has, mpos[:, 0], acci[:, 1])
+        lpos = jnp.max(jnp.where(contrib, slotpos, -1), axis=-1)
+        acci[:, 0] = jnp.maximum(acci[:, 0], lpos)
+
+        # 2DGS distortion with running moments (forward.cu:543-557)
+        A_acc = 1.0 - T_before
+        mw = m * w
+        m2w = m * mw
+        d1x = accf[:, AF_D1:AF_D1 + 1] + _cumsum_excl(mw)
+        d2x = accf[:, AF_D2:AF_D2 + 1] + _cumsum_excl(m2w)
+        err = m * m * A_acc + d2x - 2.0 * m * d1x
+        accf[:, AF_DIST] += jnp.sum(err * w, axis=-1)
+        accf[:, AF_D1] += jnp.sum(mw, axis=-1)
+        accf[:, AF_D2] += jnp.sum(m2w, axis=-1)
+
+        # prod over lanes (Mosaic lacks reduce_prod); om >= 0.01 by the
+        # 0.99 alpha clamp, so the log-sum is exact enough and safe
+        omc = jnp.where(contrib, om, 1.0)
+        accf[:, AF_T] = (T_carry[:, 0]
+                         * jnp.exp(jnp.sum(jnp.log(omc), axis=-1)))
+        stopped_new = stopped_c[:, 0] | jnp.any(stop, axis=-1)
+        accf[:, AF_STOPPED] = stopped_new.astype(jnp.float32)
+
+        @pl.when(jnp.all(stopped_new))
+        def _():
+            stop_s[0] = 1
+
+    @pl.when(k == NCH - 1)
+    def _():
+        outf_ref[0] = accf[:]
+        outi_ref[0] = acci[:]
+
+
+def _run_forward(win, tile_count, s: "R.RasterStatics", interpret=False):
+    T_tiles = s.grid_x * s.grid_y
+    NCH = _n_chunks(s.max_per_tile)
+
+    def win_index(t, k, cnt):
+        last = jnp.maximum(jax.lax.div(_cap_count(cnt[t], NCH * C) + C - 1,
+                                       C) - 1, 0)
+        return (t, jnp.minimum(k, last), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T_tiles, NCH),
+        in_specs=[pl.BlockSpec((1, 1, FPAD, C), win_index,
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, PIX, 16), lambda t, k, cnt: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 8), lambda t, k, cnt: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((PIX, 16), jnp.float32),
+                        pltpu.VMEM((PIX, 8), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)])
+    outf, outi = pl.pallas_call(
+        functools.partial(_fwd_kernel, s, NCH),
+        out_shape=(jax.ShapeDtypeStruct((T_tiles, PIX, 16), jnp.float32),
+                   jax.ShapeDtypeStruct((T_tiles, PIX, 8), jnp.int32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_count.astype(jnp.int32), win)
+    return outf, outi
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(s, NCH, cnt_ref, win_ref, gl_ref, bwf_ref, bwi_ref, dwin_ref,
+                accb, lim_s):
+    """Reverse chunk traversal (the structure of backward.cu:738-953).
+    gl channels: 0-2 gL_rgb, 3-5 gL_nn, 6 gL_depth, 7 gL_reg, 8 bg_dot.
+    bwf channels: 0 final_T, 1 final_D1.  bwi: 0 last_pos, 1 max_pos."""
+    t = pl.program_id(0)
+    kr = pl.program_id(1)
+    kk = NCH - 1 - kr
+    K = NCH * C
+    cnt = _cap_count(cnt_ref[t], K)
+
+    @pl.when(kr == 0)
+    def _():
+        T_final = bwf_ref[0, :, 0:1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (PIX, 8), 1)
+        accb[:] = jnp.where(col == 0,
+                            jnp.log(jnp.maximum(T_final, 1e-12)), 0.0)
+        # per-tile chunk bound: nothing past the last contributor
+        lim_s[0] = jnp.max(bwi_ref[0, :, 0])
+
+    active = (kk * C < cnt) & (kk * C <= lim_s[0])
+
+    @pl.when(active)
+    def _():
+        u, v, px, py = _tile_uv(t, s)
+        W = win_ref[0, 0]
+        ct, vjp_fn = jax.vjp(lambda Wv: _forms(Wv, u, v), W)
+        alpha_raw, tt = ct["alpha_raw"], ct["t"]
+
+        last_pos = bwi_ref[0, :, 0:1]
+        max_pos = bwi_ref[0, :, 1:2]
+        T_final = bwf_ref[0, :, 0:1]
+        final_D1 = bwf_ref[0, :, 1:2]
+        final_A = 1.0 - T_final
+
+        slotpos = kk * C + _lane_iota((PIX, C))
+        vc = (tt > NEAR_PLANE) & (alpha_raw >= ALPHA_EPS) & (slotpos < cnt)
+        contrib = vc & (slotpos <= last_pos)
+        alpha = jnp.where(contrib, alpha_raw, 0.0)
+        om = 1.0 - alpha
+        log_om = jnp.log(om)          # alpha <= 0.99 -> om >= 0.01
+
+        # T reconstruction in log space: T_before_g = T_right / prod_{j>=g}
+        # om_j (backward.cu:816) — the literal product underflows f32 at
+        # ~19 near-opaque gaussians; exp(logT_right - suffix_logsum) cannot.
+        logT_right = accb[:, 0:1]
+        s_incl = _cumsum_rev_incl(log_om)
+        T_before = jnp.exp(logT_right - s_incl)
+        T_next = T_before * om
+        T_next_safe = jnp.where(contrib, T_next, 1.0)
+        om_safe = jnp.where(contrib, om, 1.0)
+        w = jnp.where(contrib, T_before * alpha, 0.0)
+
+        gl_rgb = [gl_ref[0, :, j:j + 1] for j in range(3)]
+        gl_nn = [gl_ref[0, :, 3 + j:4 + j] for j in range(3)]
+        gl_depth = gl_ref[0, :, 6:7]
+        gl_reg = gl_ref[0, :, 7:8]
+        bg_dot = gl_ref[0, :, 8:9]
+
+        # per-pixel cotangent dots collapse the per-channel suffix sums
+        # (backward.cu:822-877) to ONE scan each:
+        #   sum_j gL_j * S_j[g]  ==  suffix_sum_g( w * (gL . c) )
+        cbar_rgb = (gl_rgb[0] * ct["r0"] + gl_rgb[1] * ct["r1"]
+                    + gl_rgb[2] * ct["r2"])
+        cbar_nn = (gl_nn[0] * ct["n0"] + gl_nn[1] * ct["n1"]
+                   + gl_nn[2] * ct["n2"])
+        S_rgb = accb[:, 1:2] + _cumsum_rev_excl(w * cbar_rgb)
+        S_nn = accb[:, 2:3] + _cumsum_rev_excl(w * cbar_nn)
+
+        d_alpha = (cbar_rgb - S_rgb / T_next_safe
+                   + cbar_nn - S_nn / T_next_safe) * T_before
+        d_alpha = d_alpha + (-T_final / om_safe) * bg_dot
+        d_alpha = jnp.where(contrib, d_alpha, 0.0)
+
+        # distortion -> m chain (detached weights, backward.cu:839-852)
+        d_m = 2.0 * w * (ct["m"] * final_A - final_D1) * gl_reg
+        d_m = jnp.where(contrib, d_m, 0.0)
+        d_t = jnp.where((slotpos == max_pos) & contrib, gl_depth, 0.0)
+
+        zero = jnp.zeros_like(d_alpha)
+        cots = {"alpha_raw": d_alpha, "G": zero, "t": d_t, "m": d_m}
+        for j, key in enumerate(("n0", "n1", "n2")):
+            cots[key] = jnp.where(contrib, w * gl_nn[j], 0.0)
+        for j, key in enumerate(("r0", "r1", "r2")):
+            cots[key] = jnp.where(contrib, w * gl_rgb[j], 0.0)
+        (dW,) = vjp_fn(cots)
+
+        # densification stats via the conic (backward.cu:896-909)
+        opa_row = W[24:25, :]
+        dL_dG = jnp.where(contrib, opa_row * d_alpha, 0.0)
+        Gv = ct["G"]
+        dx = W[ROW_M2D:ROW_M2D + 1, :] - px
+        dy = W[ROW_M2D + 1:ROW_M2D + 2, :] - py
+        gdx, gdy = Gv * dx, Gv * dy
+        con_a = W[ROW_CONIC:ROW_CONIC + 1, :]
+        con_b = W[ROW_CONIC + 1:ROW_CONIC + 2, :]
+        con_c = W[ROW_CONIC + 2:ROW_CONIC + 3, :]
+        gx = dL_dG * (-gdx * con_a - gdy * con_b) * (0.5 * s.width)
+        gy = dL_dG * (-gdy * con_c - gdx * con_b) * (0.5 * s.height)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (FPAD, C), 0)
+        dW = jnp.where(rows == ROW_CONIC,
+                       jnp.sum(gx, axis=0, keepdims=True), dW)
+        dW = jnp.where(rows == ROW_CONIC + 1,
+                       jnp.sum(gy, axis=0, keepdims=True), dW)
+        dW = jnp.where(rows == ROW_CONIC + 2,
+                       jnp.sum(jnp.abs(gx) + jnp.abs(gy), axis=0,
+                               keepdims=True), dW)
+        dwin_ref[0, 0] = dW
+
+        # advance carries toward the front
+        accb[:, 0] = logT_right[:, 0] - jnp.sum(
+            jnp.where(contrib, log_om, 0.0), axis=-1)
+        accb[:, 1] += jnp.sum(w * cbar_rgb, axis=-1)
+        accb[:, 2] += jnp.sum(w * cbar_nn, axis=-1)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        dwin_ref[0, 0] = jnp.zeros((FPAD, C), jnp.float32)
+
+
+def _run_backward(win, tile_count, gl, bwf, bwi, s: "R.RasterStatics",
+                  interpret=False):
+    T_tiles = s.grid_x * s.grid_y
+    NCH = _n_chunks(s.max_per_tile)
+
+    def win_index(t, kr, cnt):
+        kk = NCH - 1 - kr
+        last = jnp.maximum(jax.lax.div(_cap_count(cnt[t], NCH * C) + C - 1,
+                                       C) - 1, 0)
+        return (t, jnp.minimum(kk, last), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T_tiles, NCH),
+        in_specs=[
+            pl.BlockSpec((1, 1, FPAD, C), win_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 16), lambda t, kr, cnt: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 8), lambda t, kr, cnt: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 8), lambda t, kr, cnt: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, FPAD, C),
+            lambda t, kr, cnt: (t, NCH - 1 - kr, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32),
+                        pltpu.SMEM((1,), jnp.int32)])
+    dwin = pl.pallas_call(
+        functools.partial(_bwd_kernel, s, NCH),
+        out_shape=jax.ShapeDtypeStruct((T_tiles, NCH, FPAD, C), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_count.astype(jnp.int32), win, gl, bwf, bwi)
+    return dwin
+
+
+# ---------------------------------------------------------------------------
+# window building + custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+def _build_windows(feat, conic, means2d, point_list, pair_valid, tile_start,
+                   tile_count, s: "R.RasterStatics"):
+    """(T, NCH, FPAD, C) transposed feature windows + (T, K) gids/valid."""
+    T_tiles = s.grid_x * s.grid_y
+    NCH = _n_chunks(s.max_per_tile)
+    K = NCH * C
+    P = feat.shape[0]
+    offs = jnp.arange(K, dtype=jnp.int32)[None, :]
+    idx = tile_start[:, None] + offs
+    win_valid = offs < jnp.minimum(tile_count, K)[:, None]
+    idx_c = jnp.clip(idx, 0, point_list.shape[0] - 1)
+    gids = point_list[idx_c]
+    win_valid = win_valid & pair_valid[idx_c]
+
+    allf = jnp.concatenate([
+        feat, conic, means2d,
+        jnp.zeros((P, FPAD - feat.shape[1] - 5), feat.dtype)], axis=1)
+    win = allf[gids]                                    # (T, K, FPAD)
+    win = win.reshape(T_tiles, NCH, C, FPAD)
+    win = jnp.transpose(win, (0, 1, 3, 2))              # (T, NCH, FPAD, C)
+    return win, gids, win_valid
+
+
+def _assemble_out(outf, outi, bg):
+    """Kernel accumulators -> (out9, RenderAux) matching the XLA path."""
+    Crgb = outf[..., AF_RGB:AF_RGB + 3]
+    T_run = outf[..., AF_T]
+    dist = outf[..., AF_DIST]
+    out = jnp.concatenate([
+        Crgb + T_run[..., None] * bg[None, None, :],
+        outf[..., AF_NN:AF_NN + 3],
+        outf[..., AF_DEPTH:AF_DEPTH + 1],
+        outf[..., AF_ALPHA:AF_ALPHA + 1],
+        (dist / ((1.0 - T_run) ** 2 + 1e-7))[..., None]], -1)
+    aux = R.RenderAux(final_T=T_run, dist1=outf[..., AF_D1],
+                      dist2=outf[..., AF_D2], raw_distortion=dist,
+                      last_pos=outi[..., 0], max_pos=outi[..., 1])
+    return out, aux
+
+
+def _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
+                     tile_start, tile_count, bg, s):
+    feat = R._expand_features(v2g_mb, rgb, opa)
+    win, _, _ = _build_windows(feat, conic, means2d, point_list, pair_valid,
+                               tile_start, tile_count, s)
+    outf, outi = _run_forward(win, tile_count, s, interpret=s.interpret)
+    return _assemble_out(outf, outi, bg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def composite_pallas(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
+                     point_list, pair_valid, tile_start, tile_count, bg,
+                     statics: "R.RasterStatics"):
+    """Drop-in kernel-backed replacement for rasterize.composite."""
+    return _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list,
+                            pair_valid, tile_start, tile_count, bg, statics)
+
+
+def _composite_fwd(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
+                   point_list, pair_valid, tile_start, tile_count, bg,
+                   statics):
+    out, aux = _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list,
+                                pair_valid, tile_start, tile_count, bg,
+                                statics)
+    res = (v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
+           tile_start, tile_count, bg, aux)
+    return (out, aux), res
+
+
+def _composite_bwd(statics, res, cts):
+    (v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
+     tile_start, tile_count, bg, aux) = res
+    g_out, _ = cts
+    s = statics
+    P = v2g_mb.shape[0]
+
+    feat = R._expand_features(v2g_mb, rgb, opa)
+    win, gids, win_valid = _build_windows(
+        feat, conic, means2d, point_list, pair_valid, tile_start, tile_count,
+        s)
+
+    T_tiles = s.grid_x * s.grid_y
+    gl = jnp.zeros((T_tiles, PIX, 16), jnp.float32)
+    gl = gl.at[..., 0:3].set(g_out[..., 0:3])
+    gl = gl.at[..., 3:6].set(g_out[..., 3:6])
+    gl = gl.at[..., 6].set(g_out[..., 6])
+    # alpha channel (7) carries no gradient in the reference
+    gl = gl.at[..., 7].set(g_out[..., 8])
+    gl = gl.at[..., 8].set(jnp.einsum('j,tpj->tp', bg, g_out[..., 0:3]))
+
+    bwf = jnp.zeros((T_tiles, PIX, 8), jnp.float32)
+    bwf = bwf.at[..., 0].set(aux.final_T)
+    bwf = bwf.at[..., 1].set(aux.dist1)
+    bwi = jnp.zeros((T_tiles, PIX, 8), jnp.int32)
+    bwi = bwi.at[..., 0].set(aux.last_pos)
+    bwi = bwi.at[..., 1].set(aux.max_pos)
+
+    dwin = _run_backward(win, tile_count, gl, bwf, bwi, s,
+                         interpret=s.interpret)
+    NCH = _n_chunks(s.max_per_tile)
+    slab = jnp.transpose(dwin, (0, 1, 3, 2)).reshape(T_tiles, NCH * C, FPAD)
+
+    seg = jnp.where(win_valid, gids, P).reshape(-1)
+    d_all = jax.ops.segment_sum(slab.reshape(-1, FPAD), seg,
+                                num_segments=P + 1)[:P]
+    d_feat = d_all[:, :R.NFEAT]
+    d_m2d = d_all[:, ROW_CONIC:ROW_CONIC + 3]
+
+    _, expand_vjp = jax.vjp(R._expand_features, v2g_mb, rgb, opa)
+    d_mb, d_rgb, d_opa = expand_vjp(d_feat)
+    zeros = jax.tree_util.tree_map(
+        jnp.zeros_like, (conic, means2d, point_list, pair_valid,
+                         tile_start, tile_count, bg))
+    return (d_mb, d_rgb, d_opa, zeros[0], zeros[1], d_m2d,
+            zeros[2], zeros[3], zeros[4], zeros[5], zeros[6])
+
+
+composite_pallas.defvjp(_composite_fwd, _composite_bwd)

@@ -72,6 +72,7 @@ class RasterStatics(NamedTuple):
     focal_y: float
     max_per_tile: int    # per-tile gather window K
     chunk: int           # gaussians per scan step
+    interpret: bool = False   # Pallas interpret mode (CPU testing only)
 
 
 class RenderAux(NamedTuple):
@@ -497,14 +498,25 @@ def _tiles_to_image(x, s: RasterStatics):
     return img[:, :s.height, :s.width]
 
 
+def _pick_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
            sh_degree: int = 1, kernel_size: float = 0.0,
            scale_modifier: float = 1.0, pair_cap: int = 1 << 18,
            max_per_tile: int = 1024, chunk: int = 128,
-           colors_precomp=None, means2d_stats=None, mask=None):
+           colors_precomp=None, means2d_stats=None, mask=None,
+           backend: str = "auto", interpret: bool = False):
     """Render one Gaussian set through one camera.  The TPU-native
     counterpart of the reference's rasterize_gaussians + GOF settings
     (diff_gof_rasterization/__init__.py:21-307).
+
+    backend: 'pallas' (TPU kernels, ops/pallas_raster.py), 'xla' (the
+    portable scan formulation), or 'auto' (pallas on TPU, xla elsewhere).
+    interpret=True runs the Pallas kernels in interpreter mode (CPU tests).
 
     Returns a dict mirroring render_predicted_more_v2_gof's output contract
     (src/gaussian_renderer/__init__.py:1059-1067): keys render (3,H,W),
@@ -529,7 +541,8 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
                             grid_x=bng.grid[0], grid_y=bng.grid[1],
                             focal_x=float(camera.focal_x),
                             focal_y=float(camera.focal_y),
-                            max_per_tile=max_per_tile, chunk=chunk)
+                            max_per_tile=max_per_tile, chunk=chunk,
+                            interpret=interpret)
     if bg is None:
         bg = jnp.zeros(3, jnp.float32)
     if means2d_stats is None:
@@ -541,12 +554,17 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
     opa_flat = opacities.reshape(-1)
     opa_in = opa_flat + jax.lax.stop_gradient(pre.opa_coef - opa_flat)
 
-    out, aux = composite(pre.v2g_mb, rgb, opa_in, pre.conic,
-                         jax.lax.stop_gradient(pre.means2d), means2d_stats,
-                         bng.point_list, bng.pair_valid,
-                         bng.tile_start, bng.tile_count,
-                         jax.lax.stop_gradient(jnp.asarray(bg, jnp.float32)),
-                         statics)
+    if _pick_backend(backend) == "pallas":
+        from . import pallas_raster
+        composite_fn = pallas_raster.composite_pallas
+    else:
+        composite_fn = composite
+    out, aux = composite_fn(pre.v2g_mb, rgb, opa_in, pre.conic,
+                            jax.lax.stop_gradient(pre.means2d), means2d_stats,
+                            bng.point_list, bng.pair_valid,
+                            bng.tile_start, bng.tile_count,
+                            jax.lax.stop_gradient(jnp.asarray(bg, jnp.float32)),
+                            statics)
     img = _tiles_to_image(out, statics)
     return {
         "render": img[0:3],
