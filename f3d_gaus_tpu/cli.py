@@ -120,7 +120,11 @@ def main(argv=None):
 
             frames = [_to_uint8(rgb[b, v]) for v in range(rgb.shape[1])]
             vid = _save_video(frames, os.path.join(out_dir, "nvs"))
-            dframes = [colorize_depth(depth_r[b, v, 0])
+            # one color range across the whole orbit so the depth video
+            # doesn't flicker frame-to-frame
+            d_lo = float(depth_r[b].min())
+            d_hi = float(depth_r[b].max())
+            dframes = [colorize_depth(depth_r[b, v, 0], d_lo, d_hi)
                        for v in range(depth_r.shape[1])]
             _save_video(dframes, os.path.join(out_dir, "nvs_depth"))
             print(f"[{tag}] wrote {vid} ({len(frames)} views)")

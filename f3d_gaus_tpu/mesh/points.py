@@ -24,11 +24,15 @@ def frustum_mask(points: np.ndarray, world_views: np.ndarray,
     points: (N, 3); world_views: (V, 4, 4) row-vector-layout view matrices.
     The reference computes focal via fov2focal with the fov accidentally
     passed in DEGREES (visualize.py:76: `fov2focal(fov, 256)` with
-    `config['model']['fov']`); we implement the intended geometry
-    (degrees -> radians) — the mask is a dilation-safe superset either way
-    because it only gates which seed points exist.
+    `config['model']['fov']`), i.e. tan(fov_deg/2 interpreted as radians) —
+    an effective focal of ~415 instead of the intended ~1110 at fov 13.164,
+    so the reference's mask is much WIDER than the true frustum.  We
+    reproduce that effective (wide) mask for parity: the mask only gates
+    which Delaunay seed points exist, and using the intended geometry here
+    would CULL seed points the reference keeps, changing mesh topology near
+    frustum edges.
     """
-    focal = resolution / (2.0 * np.tan(np.deg2rad(fov_deg) / 2.0))
+    focal = resolution / (2.0 * np.tan(fov_deg / 2.0))
     pts_h = np.concatenate([points, np.ones_like(points[:, :1])], -1)
     # row-vector layout: p_view = p @ world_view
     view = np.einsum('nc,vck->vnk', pts_h, world_views)[..., :3]   # (V, N, 3)

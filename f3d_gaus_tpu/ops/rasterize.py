@@ -504,6 +504,31 @@ def _pick_backend(backend: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def plan_caps(means3d, scales, quats, opacities, camera, *,
+              kernel_size: float = 0.0, scale_modifier: float = 1.0,
+              pair_bucket: int = 1 << 16, tile_bucket: int = 128,
+              margin: float = 1.25):
+    """Two-phase sizing, run OUTSIDE jit once per scene/shape: measure the
+    exact pair count and the max per-tile occupancy, return static
+    {'pair_cap', 'max_per_tile'} rounded up to buckets (x margin) so the
+    subsequent jitted render is exact — the static-shape analog of the CUDA
+    resize-and-relaunch (rasterize_points.cu:28-34).  Feed the result to
+    render(); render's output dict carries an 'overflow' flag that is True
+    iff the caps were still insufficient (then re-plan)."""
+    shs_dummy = jnp.zeros((means3d.shape[0], 1, 3), jnp.float32)
+    pre = G.preprocess(means3d, scales, quats, opacities, shs_dummy, 0,
+                       camera, kernel_size, scale_modifier)
+    total = int(B.count_pairs(pre.means2d, pre.radii, camera.width,
+                              camera.height))
+    pair_cap = B.suggest_pair_cap(int(total * margin), pair_bucket)
+    bng = B.bin_gaussians(pre.means2d, pre.radii, pre.depths,
+                          camera.width, camera.height, pair_cap)
+    max_count = int(jnp.max(bng.tile_count))
+    mpt = max(int(max_count * margin), tile_bucket)
+    mpt = ((mpt + tile_bucket - 1) // tile_bucket) * tile_bucket
+    return {"pair_cap": pair_cap, "max_per_tile": mpt}
+
+
 def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
            sh_degree: int = 1, kernel_size: float = 0.0,
            scale_modifier: float = 1.0, pair_cap: int = 1 << 18,
@@ -566,6 +591,11 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
                             jax.lax.stop_gradient(jnp.asarray(bg, jnp.float32)),
                             statics)
     img = _tiles_to_image(out, statics)
+    # loud truncation flag (the CUDA reference is exact at any load —
+    # rasterizer_impl.cu:247-405 resizes; static caps must self-report):
+    # True iff pair_cap overflowed OR any tile holds more pairs than the
+    # compositing window walks.  Check it (or use plan_caps) at new shapes.
+    overflow = bng.overflow | jnp.any(bng.tile_count > max_per_tile)
     return {
         "render": img[0:3],
         "rendered_normal": img[3:6],
@@ -576,4 +606,5 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
         "radii": pre.radii,
         "aux": aux,
         "binning": bng,
+        "overflow": overflow,
     }

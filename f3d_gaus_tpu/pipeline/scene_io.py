@@ -133,10 +133,20 @@ def read_colmap_scene(path: str, images_dir: str = "images",
         im = imgs[iid]
         cam = cams[im["camera_id"]]
         w, h = cam["width"], cam["height"]
-        if cam["model"] == 0 or cam["model"] == 2:   # SIMPLE_* : f, cx, cy
+        if cam["model"] == 0:                        # SIMPLE_PINHOLE: f, cx, cy
             fx = fy = cam["params"][0]
-        else:                                        # PINHOLE: fx, fy, cx, cy
+        elif cam["model"] == 1:                      # PINHOLE: fx, fy, cx, cy
             fx, fy = cam["params"][0], cam["params"][1]
+        else:
+            # distortion models (SIMPLE_RADIAL, OPENCV, ...) would load with
+            # silently wrong geometry; the reference asserts the same
+            # restriction (dataset_readers.py:92-100: "Colmap camera model
+            # not handled: only undistorted datasets ... supported!")
+            name = _CAM_MODEL_NAMES.get(cam["model"], str(cam["model"]))
+            raise ValueError(
+                f"COLMAP camera model {name} is not supported: only "
+                "SIMPLE_PINHOLE/PINHOLE (undistorted) reconstructions load "
+                "correctly — undistort the dataset first")
         fovx, fovy = focal2fov(fx, w), focal2fov(fy, h)
         camera = _camera_from_w2c(_qvec2rotmat(im["qvec"]),
                                   im["tvec"].astype(np.float32),

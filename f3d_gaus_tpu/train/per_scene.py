@@ -389,9 +389,15 @@ def fit_scene(cameras, targets, init_points, init_colors,
     targets = jnp.asarray(targets)
 
     hist = {"loss": [], "alive": []}
+    # epoch-style sampling without replacement: the reference pops from a
+    # reshuffled copy of the camera list (train.py:78-82 viewpoint_stack),
+    # so no view starves on few-view scenes
+    viewpoint_stack: list = []
     for it in range(1, cfg.iterations + 1):
         active_sh = min(it // cfg.sh_degree_interval, cfg.sh_degree)
-        v = int(rng.integers(0, len(cameras)))
+        if not viewpoint_stack:
+            viewpoint_stack = list(rng.permutation(len(cameras)))
+        v = int(viewpoint_stack.pop())
         cam = cameras[v]
         scene, opt, stats, aux = train_step(
             scene, opt, stats,
