@@ -7,14 +7,18 @@ static shapes, so this module re-designs that as:
 
   * a static pair capacity `pair_cap` (over-allocate + mask) — the analog of
     the reference's resizeFunctional closures (rasterize_points.cu:28-34);
-  * pair expansion via scatter-of-segment-starts + inclusive cumsum (a
-    1M-query searchsorted here costs ~130 ms/frame on TPU — the log-N
-    gather loop is the wrong shape; one scatter + one cumsum is ~20x
-    cheaper);
-  * ONE lexicographic `jax.lax.sort` on (tile_id, depth, gaussian_id)
-    replacing the 64-bit-key radix sort — float depth sorts identically to
-    its bit pattern for positive values, and the explicit id key reproduces
-    the stable tie-break;
+  * DEPTH-RANK RELABELING: the P gaussians are depth-sorted ONCE (P-sized
+    sort, ~20x smaller than the pair list), and every pair carries the
+    gaussian's depth RANK instead of its float depth — sorting pairs by
+    (tile, rank) is then exactly the reference's (tile, depth, id) order,
+    with two int keys instead of a float key + stability requirements;
+  * pair expansion with NO gathers over the pair axis: per-slot step
+    functions (segment start, base tile, rect width, gaussian id) are
+    reconstructed by scattering per-gaussian VALUE DIFFS at the segment
+    starts and integrating with an int32 cumsum — exact in integer
+    arithmetic, and ~2 ms/channel cheaper than a random 1M-element gather
+    on TPU (measured: the gather formulation cost 13.8 ms of a 14.2 ms
+    binning pass at pair_cap 2^18; this formulation ~2 ms total);
   * per-tile ranges via searchsorted (only num_tiles queries — cheap)
     instead of identifyTileRanges.
 
@@ -59,6 +63,16 @@ def tile_rects(means2d: jnp.ndarray, radii: jnp.ndarray, width: int, height: int
     return xmin, ymin, xmax, ymax, count
 
 
+def _fill_forward(values, starts, pair_cap):
+    """Reconstruct the per-slot step function slot -> values[segment(slot)]
+    by scattering per-segment diffs at the (monotone) segment starts and
+    integrating.  Duplicate starts (empty segments) telescope to the LAST
+    segment's value — exactly the slot-ownership rule.  int32-exact."""
+    diffs = values - jnp.concatenate([values[:1] * 0, values[:-1]])
+    acc = jnp.zeros(pair_cap, values.dtype).at[starts].add(diffs, mode='drop')
+    return jnp.cumsum(acc)
+
+
 def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
                   width: int, height: int, pair_cap: int) -> Binning:
     """Build the depth-sorted per-tile gaussian lists.
@@ -76,37 +90,46 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     num_tiles = grid_x * grid_y
     P = means2d.shape[0]
 
-    xmin, ymin, xmax, ymax, count = tile_rects(means2d, radii, width, height)
+    # Depth-rank relabeling: pairs carry the gaussian's depth RANK, so the
+    # within-tile order (depth asc, id asc — the reference's 64-bit
+    # tile|depth key + stable expansion order) is ONE int key.  Culled
+    # gaussians sort to the back (inf) but emit no pairs anyway.
+    ids = jnp.arange(P, dtype=jnp.int32)
+    dk = jnp.where(radii > 0, depths.astype(jnp.float32), jnp.inf)
+    _, perm = jax.lax.sort((dk, ids), num_keys=1, is_stable=True)
+
+    xmin, ymin, xmax, ymax, count = tile_rects(means2d[perm], radii[perm],
+                                               width, height)
     offsets = jnp.cumsum(count)                       # inclusive
     total = offsets[-1] if P > 0 else jnp.int32(0)
     overflow = total > pair_cap
 
-    # slot j belongs to gaussian g = first index with offsets[g] > j.
-    # Scatter a 1 at EVERY gaussian's exclusive offset (empty gaussians
-    # scatter a duplicate at the next non-empty gaussian's start, so the
-    # cumsum still counts them): the running count of segment starts at or
-    # before j is exactly g + 1 where g is the GLOBAL gaussian index.
-    # (Dropping empty segments here would make the cumsum a rank among
-    # non-empty gaussians only — wrong whenever a culled gaussian precedes
-    # a visible one, e.g. dead alive-mask slots in per-scene training.)
+    # Slot j belongs to rank r = (number of segment starts at or before j)
+    # - 1.  Empty segments (culled gaussians) scatter a duplicate mark at
+    # the next non-empty segment's start; the cumsum counts them, keeping
+    # rank a GLOBAL index into the depth order (regression:
+    # tests/test_rasterize_parity.py::test_culled_gaussian_between_visible).
     slots = jnp.arange(pair_cap, dtype=jnp.int32)
     starts = offsets - count                          # exclusive offsets
     marks = jnp.zeros(pair_cap, jnp.int32).at[starts].add(1, mode='drop')
-    gauss = jnp.cumsum(marks) - 1
+    rank = jnp.cumsum(marks) - 1
     pair_valid = slots < total
-    gauss_c = jnp.clip(gauss, 0, P - 1)
 
-    start = offsets[gauss_c] - count[gauss_c]          # exclusive offset
-    delta = slots - start
-    rect_w = jnp.maximum(xmax[gauss_c] - xmin[gauss_c], 1)
-    tx = xmin[gauss_c] + delta % rect_w
-    ty = ymin[gauss_c] + delta // rect_w
-    tile = ty * grid_x + tx
+    # Per-slot step functions, fill-forward (no pair-axis gathers):
+    base_tile = ymin * grid_x + xmin
+    rect_w = jnp.maximum(xmax - xmin, 1)
+    start_f = _fill_forward(starts, starts, pair_cap)
+    base_f = _fill_forward(base_tile, starts, pair_cap)
+    rectw_f = jnp.maximum(_fill_forward(rect_w, starts, pair_cap), 1)
+    gid_f = _fill_forward(perm, starts, pair_cap)
+
+    delta = slots - start_f
+    tile = base_f + delta % rectw_f + (delta // rectw_f) * grid_x
     tile = jnp.where(pair_valid, tile, num_tiles)      # sentinel sorts last
 
-    depth_key = jnp.where(pair_valid, depths[gauss_c], jnp.inf).astype(jnp.float32)
-    tile_s, _, gid_s, valid_s = jax.lax.sort(
-        (tile, depth_key, gauss_c, pair_valid), num_keys=2, is_stable=True)
+    # (tile, rank) is unique per pair -> unstable 2-key sort is exact.
+    tile_s, _, gid_s = jax.lax.sort((tile, rank, gid_f), num_keys=2)
+    valid_s = tile_s < num_tiles
 
     tile_start = jnp.searchsorted(tile_s, jnp.arange(num_tiles, dtype=jnp.int32),
                                   side='left').astype(jnp.int32)
