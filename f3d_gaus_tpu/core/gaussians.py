@@ -7,6 +7,15 @@ vectorized over the Gaussian axis and differentiable; the backward pass
 through this stage is obtained with `jax.vjp` instead of the reference's
 hand-derived chains (backward.cu:381-631) — the math is identical.
 
+TPU-first layout note: all matrix algebra here is written in
+STRUCTURE-OF-ARRAYS form — per-component (P,) arrays combined with scalar
+camera entries — never as batched (P, 3, 3) tensors.  XLA/TPU tiles the two
+minor dims of every array to (8, 128); a (P, 3, 3) intermediate therefore
+pads 9 useful elements to 1024 per Gaussian, and a batched 3x3 einsum
+becomes a padded dot.  Component form keeps the whole preprocess one fused
+elementwise pass over (P,) vectors (measured ~4x faster at P = 65k than the
+einsum formulation on v5e).
+
 Matrix convention: `world_view` is the row-vector-layout matrix described in
 core/cameras.py; consumed here exactly the way the CUDA kernels read it.
 """
@@ -16,10 +25,20 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .quaternions import quat_to_rotmat
-
 NEAR_PLANE = 0.2   # auxiliary.h:27
 FAR_PLANE = 100.0  # auxiliary.h:28
+
+
+def _rotmat_comps(q):
+    """Quaternion (..., 4) -> 9 row-major rotation components, each (...,).
+
+    Same math as quaternions.quat_to_rotmat (reference visualize.py:42-63),
+    kept un-stacked so consumers stay in SoA form.
+    """
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+            2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+            2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y))
 
 
 def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float = 1.0):
@@ -29,12 +48,44 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float =
     storage order of computeCov3D (forward.cu:129-163).
     scales: (..., 3), quats: (..., 4) already normalized.
     """
-    R = quat_to_rotmat(quats)                      # (..., 3, 3) standard
-    s = scales * scale_modifier
-    RS = R * s[..., None, :]                       # R @ diag(s)
-    sigma = RS @ jnp.swapaxes(RS, -1, -2)          # R S^2 R^T
-    return jnp.stack([sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-                      sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]], -1)
+    R = _rotmat_comps(quats)                       # 9 comps, row-major
+    s0 = scales[..., 0] * scale_modifier
+    s1 = scales[..., 1] * scale_modifier
+    s2 = scales[..., 2] * scale_modifier
+    # RS[i][j] = R[i][j] * s[j]; sigma_ij = sum_k RS[i][k] RS[j][k]
+    m = [R[0] * s0, R[1] * s1, R[2] * s2,
+         R[3] * s0, R[4] * s1, R[5] * s2,
+         R[6] * s0, R[7] * s1, R[8] * s2]
+
+    def dot(i, j):
+        return m[3 * i] * m[3 * j] + m[3 * i + 1] * m[3 * j + 1] \
+            + m[3 * i + 2] * m[3 * j + 2]
+    return jnp.stack([dot(0, 0), dot(0, 1), dot(0, 2),
+                      dot(1, 1), dot(1, 2), dot(2, 2)], -1)
+
+
+def _gaussian_to_view(means, quats, world_view):
+    """Shared SoA core of the view2gaussian packings.
+
+    Returns (Rv 9 comps row-major, t2 3 comps) where Rv = Rw2v . R is the
+    gaussian->view rotation (column-vector composition, forward.cu:168-210)
+    and t2 = -Rv^T t is the camera origin in the gaussian frame.
+    """
+    R = _rotmat_comps(quats)
+    # Rw2v (column-vector world->view) = world_view[:3,:3]^T in the
+    # row-vector layout: Rw2v[i][j] = world_view[j, i]  (scalars).
+    w = [[world_view[j, i] for j in range(3)] for i in range(3)]
+    tw = [world_view[3, 0], world_view[3, 1], world_view[3, 2]]
+    m0, m1, m2 = means[..., 0], means[..., 1], means[..., 2]
+    # t = means @ Rw2v^T + t_w2v  ->  t_i = sum_k means_k Rw2v[i][k]
+    t = [m0 * w[i][0] + m1 * w[i][1] + m2 * w[i][2] + tw[i] for i in range(3)]
+    # Rv[i][j] = sum_k Rw2v[i][k] R[k][j]
+    Rv = [w[i][0] * R[j] + w[i][1] * R[3 + j] + w[i][2] * R[6 + j]
+          for i in range(3) for j in range(3)]
+    # t2_i = -sum_k Rv[k][i] t_k
+    t2 = [-(Rv[i] * t[0] + Rv[3 + i] * t[1] + Rv[6 + i] * t[2])
+          for i in range(3)]
+    return Rv, t2, t
 
 
 def view2gaussian_mb(means: jnp.ndarray, scales: jnp.ndarray,
@@ -56,15 +107,13 @@ def view2gaussian_mb(means: jnp.ndarray, scales: jnp.ndarray,
 
     Returns (M (P, 3, 3), b (P, 3)), float32.
     """
-    R = quat_to_rotmat(quats)
-    W = world_view[:3, :3]
-    Rw2v = W.T
-    Rv = jnp.einsum('ij,pjk->pik', Rw2v, R)
-    t = means @ Rw2v.T + world_view[3, :3]
-    t2 = -jnp.einsum('pji,pj->pi', Rv, t)
-    s_inv = 1.0 / jnp.sqrt(scales.astype(jnp.float32) ** 2 + 1e-7)
-    M = s_inv[..., :, None] * jnp.swapaxes(Rv, -1, -2)   # S^-1 Rv^T
-    b = s_inv * t2
+    Rv, t2, _ = _gaussian_to_view(means, quats, world_view)
+    sf = scales.astype(jnp.float32)
+    si = [1.0 / jnp.sqrt(sf[..., i] ** 2 + 1e-7) for i in range(3)]
+    # M[i][j] = s_inv[i] * Rv[j][i]
+    M = jnp.stack([si[i] * Rv[3 * j + i] for i in range(3) for j in range(3)],
+                  -1).reshape(*means.shape[:-1], 3, 3)
+    b = jnp.stack([si[i] * t2[i] for i in range(3)], -1)
     return M.astype(jnp.float32), b.astype(jnp.float32)
 
 
@@ -82,27 +131,21 @@ def view2gaussian(means: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
     means: (P, 3); scales: (P, 3); quats: (P, 4); world_view: (4, 4).
     Returns (P, 10) float32.
     """
-    R = quat_to_rotmat(quats)                          # (P, 3, 3) gaussian->world
-    W = world_view[:3, :3]                             # row-vector layout
-    # column-vector world->view rotation is world_view[:3,:3]^T == W.T; the
-    # gaussian->view rotation Rv = W^T... in row-vector layout p_view = p @ world_view,
-    # so for column vectors v_view = world_view[:3,:3]^T v_world + world_view[3,:3]^T.
-    Rw2v = W.T                                         # (3, 3) col-vec world->view
-    t_w2v = world_view[3, :3]                          # translation (row-vec layout)
-    # G2V = W2V . G2W (column-vector composition): Rv = Rw2v @ R_gaussian.
-    Rv = jnp.einsum('ij,pjk->pik', Rw2v, R)            # (P, 3, 3)
-    t = means @ Rw2v.T + t_w2v                         # (P, 3) gaussian origin in view
-    t2 = -jnp.einsum('pji,pj->pi', Rv, t)              # -Rv^T t: camera in gaussian frame
-    s_inv2 = 1.0 / (scales.astype(jnp.float32) ** 2 + 1e-7)   # (P, 3)
-    C = jnp.sum(t2 * t2 * s_inv2, axis=-1)             # (P,)
-    # B = Rv S^-2 t2 ; A = Rv S^-2 Rv^T
-    RvS = Rv * s_inv2[..., None, :]                    # Rv @ diag(S^-2)
-    B = jnp.einsum('pij,pj->pi', RvS, t2)
-    A = RvS @ jnp.swapaxes(Rv, -1, -2)
-    return jnp.concatenate([
-        jnp.stack([A[..., 0, 0], A[..., 0, 1], A[..., 0, 2],
-                   A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]], -1),
-        B, C[..., None]], -1).astype(jnp.float32)
+    Rv, t2, _ = _gaussian_to_view(means, quats, world_view)
+    s_inv2 = [1.0 / (scales.astype(jnp.float32)[..., i] ** 2 + 1e-7)
+              for i in range(3)]
+    C = t2[0] * t2[0] * s_inv2[0] + t2[1] * t2[1] * s_inv2[1] \
+        + t2[2] * t2[2] * s_inv2[2]
+    # B = Rv S^-2 t2 ; A = Rv S^-2 Rv^T   (RvS[i][k] = Rv[i][k] s_inv2[k])
+    B = [Rv[3 * i] * s_inv2[0] * t2[0] + Rv[3 * i + 1] * s_inv2[1] * t2[1]
+         + Rv[3 * i + 2] * s_inv2[2] * t2[2] for i in range(3)]
+
+    def a(i, j):
+        return Rv[3 * i] * s_inv2[0] * Rv[3 * j] \
+            + Rv[3 * i + 1] * s_inv2[1] * Rv[3 * j + 1] \
+            + Rv[3 * i + 2] * s_inv2[2] * Rv[3 * j + 2]
+    return jnp.stack([a(0, 0), a(0, 1), a(0, 2), a(1, 1), a(1, 2), a(2, 2),
+                      B[0], B[1], B[2], C], -1).astype(jnp.float32)
 
 
 def project_points(means: jnp.ndarray, world_view: jnp.ndarray,
@@ -112,12 +155,14 @@ def project_points(means: jnp.ndarray, world_view: jnp.ndarray,
     Row-vector convention; the +1e-7 w-regularizer matches
     transformPoint4x4 usage in preprocessCUDA (forward.cu:328-331).
     """
-    ones = jnp.ones_like(means[..., :1])
-    ph = jnp.concatenate([means, ones], -1)
-    p_view = ph @ world_view[:, :3]
-    p_hom = ph @ full_proj
-    p_w = 1.0 / (p_hom[..., 3:4] + 1e-7)
-    return p_view, p_hom[..., :3] * p_w
+    m0, m1, m2 = means[..., 0], means[..., 1], means[..., 2]
+
+    def col(M, j):
+        return m0 * M[0, j] + m1 * M[1, j] + m2 * M[2, j] + M[3, j]
+    p_view = jnp.stack([col(world_view, j) for j in range(3)], -1)
+    p_w = 1.0 / (col(full_proj, 3) + 1e-7)
+    p_ndc = jnp.stack([col(full_proj, j) * p_w for j in range(3)], -1)
+    return p_view, p_ndc
 
 
 def ndc_to_pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -135,14 +180,13 @@ def cov2d_and_coef(means: jnp.ndarray, cov3d6: jnp.ndarray,
     (zeroed when degenerate), and kernel_size added to the diagonal.
     Returns (cov2d (P, 3) [xx, xy, yy] with kernel added, coef (P,)).
     """
-    ones = jnp.ones_like(means[..., :1])
-    t = jnp.concatenate([means, ones], -1) @ world_view[:, :3]   # (P, 3) view
+    m0, m1, m2 = means[..., 0], means[..., 1], means[..., 2]
+    t = [m0 * world_view[0, j] + m1 * world_view[1, j] + m2 * world_view[2, j]
+         + world_view[3, j] for j in range(3)]
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
-    tz = t[..., 2]
-    txtz = t[..., 0] / tz
-    tytz = t[..., 1] / tz
-    tx = jnp.clip(txtz, -limx, limx) * tz
-    ty = jnp.clip(tytz, -limy, limy) * tz
+    tz = t[2]
+    tx = jnp.clip(t[0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[1] / tz, -limy, limy) * tz
 
     # J (2x3 suffices: third row is zero)
     j00 = focal_x / tz
@@ -152,19 +196,24 @@ def cov2d_and_coef(means: jnp.ndarray, cov3d6: jnp.ndarray,
 
     # world->view rotation (column-vector) = world_view[:3,:3]^T; the EWA
     # conjugation is  cov2d = (J Wc) Vrk (J Wc)^T  with Wc = Rw2v.
-    Wc = world_view[:3, :3].T                                    # (3, 3)
-    # M = J @ Wc  -> rows (2, 3), batched over P via j-coefficients
-    m0 = j00[..., None] * Wc[0] + j02[..., None] * Wc[2]         # (P, 3)
-    m1 = j11[..., None] * Wc[1] + j12[..., None] * Wc[2]         # (P, 3)
-    c3 = cov3d6
-    V = jnp.stack([jnp.stack([c3[..., 0], c3[..., 1], c3[..., 2]], -1),
-                   jnp.stack([c3[..., 1], c3[..., 3], c3[..., 4]], -1),
-                   jnp.stack([c3[..., 2], c3[..., 4], c3[..., 5]], -1)], -2)
-    Vm0 = jnp.einsum('pij,pj->pi', V, m0)
-    Vm1 = jnp.einsum('pij,pj->pi', V, m1)
-    cxx = jnp.sum(m0 * Vm0, -1)
-    cxy = jnp.sum(m0 * Vm1, -1)
-    cyy = jnp.sum(m1 * Vm1, -1)
+    # Wc[i][j] = world_view[j, i] (scalars); M rows m0/m1 in SoA form.
+    Wc = [[world_view[j, i] for j in range(3)] for i in range(3)]
+    r0 = [j00 * Wc[0][k] + j02 * Wc[2][k] for k in range(3)]
+    r1 = [j11 * Wc[1][k] + j12 * Wc[2][k] for k in range(3)]
+    c = cov3d6
+    V = [[c[..., 0], c[..., 1], c[..., 2]],
+         [c[..., 1], c[..., 3], c[..., 4]],
+         [c[..., 2], c[..., 4], c[..., 5]]]
+
+    def quad(a_, b_):
+        out = 0.0
+        for i in range(3):
+            vb = V[i][0] * b_[0] + V[i][1] * b_[1] + V[i][2] * b_[2]
+            out = out + a_[i] * vb
+        return out
+    cxx = quad(r0, r0)
+    cxy = quad(r0, r1)
+    cyy = quad(r1, r1)
 
     det0 = jnp.maximum(1e-6, cxx * cyy - cxy * cxy)
     det1 = jnp.maximum(1e-6, (cxx + kernel_size) * (cyy + kernel_size) - cxy * cxy)
@@ -195,7 +244,7 @@ class Preprocessed(NamedTuple):
     opa_coef: jnp.ndarray      # (P,)  opacity * lowpass coefficient
     rgb: jnp.ndarray           # (P, 3) SH-evaluated color
     clamped: jnp.ndarray       # (P, 3) SH clamp mask
-    v2g: jnp.ndarray           # (P, 10) CUDA-layout ray-quadratic precompute
+    v2g: jnp.ndarray | None    # (P, 10) CUDA-layout precompute (on request)
     v2g_mb: jnp.ndarray        # (P, 12) stable packing: M.reshape(9) ++ b
     radii: jnp.ndarray         # (P,)  int32 screen radius (0 = culled)
     valid: jnp.ndarray         # (P,)  bool — survives frustum/extent culling
@@ -204,12 +253,16 @@ class Preprocessed(NamedTuple):
 def preprocess(means: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
                opacities: jnp.ndarray, shs: jnp.ndarray, sh_degree: int,
                camera, kernel_size: float = 0.0,
-               scale_modifier: float = 1.0) -> Preprocessed:
+               scale_modifier: float = 1.0,
+               compute_v2g: bool = True) -> Preprocessed:
     """Full per-Gaussian preprocess (preprocessCUDA, forward.cu:284-404).
 
     `camera` is a core.cameras.Camera.  All outputs are masked with `valid`
     by the consumer; no dynamic-shape culling happens here (XLA static
     shapes; the CUDA early-returns become the `valid` mask).
+
+    compute_v2g=False skips the 10-float CUDA-layout packing (only the test
+    oracle reads it; the render path consumes v2g_mb).
     """
     from . import sh as shmod
 
@@ -230,7 +283,8 @@ def preprocess(means: jnp.ndarray, scales: jnp.ndarray, quats: jnp.ndarray,
 
     rgb, clamped = shmod.sh_color_from_gaussians(
         sh_degree, shs, means, jnp.asarray(camera.cam_center))
-    v2g = view2gaussian(means, scales, quats, world_view)
+    v2g = (view2gaussian(means, scales, quats, world_view)
+           if compute_v2g else None)
     M, b = view2gaussian_mb(means, scales, quats, world_view)
     v2g_mb = jnp.concatenate([M.reshape(M.shape[0], 9), b], -1)
 

@@ -47,17 +47,17 @@ from . import rasterize as R
 BLOCK = R.BLOCK
 PIX = R.PIX               # 256 pixels per tile
 C = 128                   # gaussians per chunk == lane width
-FPAD = 32                 # feature rows: 25 used + conic(3) + means2d(2) + pad
+FPAD = 24                 # feature rows: 19 used + conic(3) + means2d(2)
 NEAR_PLANE = R.NEAR_PLANE
 FAR_PLANE = R.FAR_PLANE
 ALPHA_EPS = R.ALPHA_EPS
 STOP_T = R.STOP_T
 
-# dwin slab rows 25..27 carry the densification-stats gradients
-# (dL/dmean2D.x, .y, abs) — rows 25..29 of the INPUT windows hold
+# dwin slab rows 19..21 carry the densification-stats gradients
+# (dL/dmean2D.x, .y, abs) — rows 19..23 of the INPUT windows hold
 # conic (3) + means2d (2), which receive no gradient of their own.
-ROW_CONIC = 25
-ROW_M2D = 28
+ROW_CONIC = R.NFEAT
+ROW_M2D = R.NFEAT + 3
 
 # accf scratch channels
 AF_RGB = 0      # 0..2
@@ -136,30 +136,53 @@ def _passthrough_min(x, cap):
 
 
 def _forms(W, U, V):
-    """W: (FPAD, C) feature rows (M9 | K9 | bb3 | rgb3 | opa1 | ...);
-    U, V: (PIX, 1) pixel ray coords.  Returns dict of (PIX, C) maps.
-    Differentiable in W — the backward kernel jax.vjp's through this."""
-    e = lambda i: W[i:i + 1, :]
-    a0 = e(0) * U + e(1) * V + e(2)
-    a1 = e(3) * U + e(4) * V + e(5)
-    a2 = e(6) * U + e(7) * V + e(8)
-    AA = a0 * a0 + a1 * a1 + a2 * a2
-    BB = 2.0 * (e(18) * U + e(19) * V + e(20))
-    k0 = e(9) * U + e(10) * V + e(11)
-    k1 = e(12) * U + e(13) * V + e(14)
-    k2 = e(15) * U + e(16) * V + e(17)
-    num = k0 * k0 + k1 * k1 + k2 * k2
+    """W: (FPAD, C) monomial-coefficient rows (qa6 | qk6 | B3 | rgb3 | opa1,
+    see rasterize.py NFEAT layout); U, V: (PIX, 1) pixel ray coords.
+    Returns dict of (PIX, C) maps.  Differentiable in W — the backward
+    kernel jax.vjp's through this.
+
+    Everything linear/quadratic in the ray is ONE MXU matmul: the 6-target
+    coefficient matrix Wm (8, 6C) is assembled with row slices/concats
+    (cheap lane ops), and the (PIX, 8) monomial basis [u^2, uv, v^2, u, v,
+    1, 0, 0] contracts against it.  precision=HIGHEST keeps the matmul in
+    f32 (TPU MXU default would round through bf16 and break parity)."""
+    Cw = W.shape[1]
+    one = jnp.ones_like(U)
+    zero2 = jnp.zeros((2, Cw), W.dtype)
+    zero3 = jnp.zeros((3, Cw), W.dtype)
+    qa = W[0:6]
+    qk = W[6:12]
+    B3 = W[12:15]
+    # n = (M^T M) d rows, un-doubling the baked off-diagonal 2s of qa
+    n0r = jnp.concatenate([W[0:1], 0.5 * W[1:2], 0.5 * W[3:4]], 0)
+    n1r = jnp.concatenate([0.5 * W[1:2], W[2:3], 0.5 * W[4:5]], 0)
+    n2r = jnp.concatenate([0.5 * W[3:4], 0.5 * W[4:5], W[5:6]], 0)
+    Wm = jnp.concatenate([
+        jnp.concatenate([qa, zero2], 0),
+        jnp.concatenate([qk, zero2], 0),
+        jnp.concatenate([zero3, B3, zero2], 0),
+        jnp.concatenate([zero3, n0r, zero2], 0),
+        jnp.concatenate([zero3, n1r, zero2], 0),
+        jnp.concatenate([zero3, n2r, zero2], 0)], axis=1)   # (8, 6C)
+    Dmon = jnp.concatenate([U * U, U * V, V * V, U, V, one,
+                            jnp.zeros_like(U), jnp.zeros_like(U)], axis=1)
+    E = jax.lax.dot_general(Dmon, Wm, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    AA = E[:, 0:Cw]
+    num = E[:, Cw:2 * Cw]
+    BB = 2.0 * E[:, 2 * Cw:3 * Cw]
+    nx = E[:, 3 * Cw:4 * Cw]
+    ny = E[:, 4 * Cw:5 * Cw]
+    nz = E[:, 5 * Cw:6 * Cw]
 
     AA_safe = jnp.where(AA == 0, 1e-12, AA)
     t = -BB / (2.0 * AA_safe)
     min_value = num / AA_safe
     power = _passthrough_min(-0.5 * min_value, 0.0)
     G = jnp.exp(power)
-    alpha_raw = _passthrough_min(e(24) * G, 0.99)
+    alpha_raw = _passthrough_min(W[18:19, :] * G, 0.99)
 
-    nx = e(0) * a0 + e(3) * a1 + e(6) * a2
-    ny = e(1) * a0 + e(4) * a1 + e(7) * a2
-    nz = e(2) * a0 + e(5) * a1 + e(8) * a2
     length = jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-7)
     inv_len = 1.0 / length
 
@@ -169,7 +192,8 @@ def _forms(W, U, V):
     zero = jnp.zeros_like(AA)
     return {"alpha_raw": alpha_raw, "G": G, "t": t, "m": m,
             "n0": -nx * inv_len, "n1": -ny * inv_len, "n2": -nz * inv_len,
-            "r0": e(21) + zero, "r1": e(22) + zero, "r2": e(23) + zero}
+            "r0": W[15:16, :] + zero, "r1": W[16:17, :] + zero,
+            "r2": W[17:18, :] + zero}
 
 
 def _tile_uv(t, s: "R.RasterStatics"):
@@ -254,12 +278,16 @@ def _fwd_kernel(s, NCH, cnt_ref, win_ref, outf_ref, outi_ref, accf, acci,
         lpos = jnp.max(jnp.where(contrib, slotpos, -1), axis=-1)
         acci[:, 0] = jnp.maximum(acci[:, 0], lpos)
 
-        # 2DGS distortion with running moments (forward.cu:543-557)
+        # 2DGS distortion with running moments (forward.cu:543-557);
+        # the two exclusive scans ride ONE lane-scan instruction stream
+        # (stacked on sublanes; exclusive = inclusive - self)
         A_acc = 1.0 - T_before
         mw = m * w
         m2w = m * mw
-        d1x = accf[:, AF_D1:AF_D1 + 1] + _cumsum_excl(mw)
-        d2x = accf[:, AF_D2:AF_D2 + 1] + _cumsum_excl(m2w)
+        both = jnp.concatenate([mw, m2w], axis=0)
+        both_x = _cumsum_incl(both) - both
+        d1x = accf[:, AF_D1:AF_D1 + 1] + both_x[:PIX]
+        d2x = accf[:, AF_D2:AF_D2 + 1] + both_x[PIX:]
         err = m * m * A_acc + d2x - 2.0 * m * d1x
         accf[:, AF_DIST] += jnp.sum(err * w, axis=-1)
         accf[:, AF_D1] += jnp.sum(mw, axis=-1)
@@ -386,8 +414,11 @@ def _bwd_kernel(s, NCH, cnt_ref, win_ref, gl_ref, bwf_ref, bwi_ref, dwin_ref,
                     + gl_rgb[2] * ct["r2"])
         cbar_nn = (gl_nn[0] * ct["n0"] + gl_nn[1] * ct["n1"]
                    + gl_nn[2] * ct["n2"])
-        S_rgb = accb[:, 1:2] + _cumsum_rev_excl(w * cbar_rgb)
-        S_nn = accb[:, 2:3] + _cumsum_rev_excl(w * cbar_nn)
+        # both suffix sums in ONE reverse lane scan (stacked on sublanes)
+        wboth = jnp.concatenate([w * cbar_rgb, w * cbar_nn], axis=0)
+        wboth_x = _cumsum_rev_incl(wboth) - wboth
+        S_rgb = accb[:, 1:2] + wboth_x[:PIX]
+        S_nn = accb[:, 2:3] + wboth_x[PIX:]
 
         d_alpha = (cbar_rgb - S_rgb / T_next_safe
                    + cbar_nn - S_nn / T_next_safe) * T_before
@@ -408,7 +439,7 @@ def _bwd_kernel(s, NCH, cnt_ref, win_ref, gl_ref, bwf_ref, bwi_ref, dwin_ref,
         (dW,) = vjp_fn(cots)
 
         # densification stats via the conic (backward.cu:896-909)
-        opa_row = W[24:25, :]
+        opa_row = W[R.ROW_OPA:R.ROW_OPA + 1, :]
         dL_dG = jnp.where(contrib, opa_row * d_alpha, 0.0)
         Gv = ct["G"]
         dx = W[ROW_M2D:ROW_M2D + 1, :] - px
@@ -493,17 +524,19 @@ def _build_windows(feat, conic, means2d, point_list, pair_valid, tile_start,
     offs = jnp.arange(K, dtype=jnp.int32)[None, :]
     idx = tile_start[:, None] + offs
     win_valid = offs < jnp.minimum(tile_count, K)[:, None]
-    idx_c = jnp.clip(idx, 0, point_list.shape[0] - 1)
-    gids = point_list[idx_c]
-    win_valid = win_valid & pair_valid[idx_c]
+    idx_c = jnp.clip(idx, 0, point_list.shape[0] - 1).reshape(-1)
+    gids = point_list[idx_c]                            # flat (T*K,)
+    win_valid = win_valid & pair_valid[idx_c].reshape(T_tiles, K)
 
-    allf = jnp.concatenate([
-        feat, conic, means2d,
-        jnp.zeros((P, FPAD - feat.shape[1] - 5), feat.dtype)], axis=1)
-    win = allf[gids]                                    # (T, K, FPAD)
+    parts = [feat, conic, means2d]
+    pad = FPAD - feat.shape[1] - 5
+    if pad:
+        parts.append(jnp.zeros((P, pad), feat.dtype))
+    allf = jnp.concatenate(parts, axis=1)
+    win = allf[gids]                                    # (T*K, FPAD)
     win = win.reshape(T_tiles, NCH, C, FPAD)
     win = jnp.transpose(win, (0, 1, 3, 2))              # (T, NCH, FPAD, C)
-    return win, gids, win_valid
+    return win, gids.reshape(T_tiles, K), win_valid
 
 
 def _assemble_out(outf, outi, bg):
@@ -526,10 +559,12 @@ def _assemble_out(outf, outi, bg):
 def _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
                      tile_start, tile_count, bg, s):
     feat = R._expand_features(v2g_mb, rgb, opa)
-    win, _, _ = _build_windows(feat, conic, means2d, point_list, pair_valid,
-                               tile_start, tile_count, s)
+    win, gids, win_valid = _build_windows(feat, conic, means2d, point_list,
+                                          pair_valid, tile_start, tile_count,
+                                          s)
     outf, outi = _run_forward(win, tile_count, s, interpret=s.interpret)
-    return _assemble_out(outf, outi, bg)
+    out, aux = _assemble_out(outf, outi, bg)
+    return out, aux, (win, gids, win_valid)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
@@ -537,32 +572,32 @@ def composite_pallas(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
                      point_list, pair_valid, tile_start, tile_count, bg,
                      statics: "R.RasterStatics"):
     """Drop-in kernel-backed replacement for rasterize.composite."""
-    return _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list,
-                            pair_valid, tile_start, tile_count, bg, statics)
+    out, aux, _ = _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d,
+                                   point_list, pair_valid, tile_start,
+                                   tile_count, bg, statics)
+    return out, aux
 
 
 def _composite_fwd(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
                    point_list, pair_valid, tile_start, tile_count, bg,
                    statics):
-    out, aux = _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list,
-                                pair_valid, tile_start, tile_count, bg,
-                                statics)
+    out, aux, wins = _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d,
+                                      point_list, pair_valid, tile_start,
+                                      tile_count, bg, statics)
+    # the gathered windows ride the residuals (33 MB at the flagship shape)
+    # so the backward re-uses them instead of re-gathering — the exact
+    # buffer-reuse design of the CUDA ctx save (rasterizer_impl.cu:444-446)
     res = (v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
-           tile_start, tile_count, bg, aux)
+           tile_start, tile_count, bg, aux, wins)
     return (out, aux), res
 
 
 def _composite_bwd(statics, res, cts):
     (v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
-     tile_start, tile_count, bg, aux) = res
+     tile_start, tile_count, bg, aux, (win, gids, win_valid)) = res
     g_out, _ = cts
     s = statics
     P = v2g_mb.shape[0]
-
-    feat = R._expand_features(v2g_mb, rgb, opa)
-    win, gids, win_valid = _build_windows(
-        feat, conic, means2d, point_list, pair_valid, tile_start, tile_count,
-        s)
 
     T_tiles = s.grid_x * s.grid_y
     gl = jnp.zeros((T_tiles, PIX, 16), jnp.float32)

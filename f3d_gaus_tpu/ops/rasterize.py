@@ -59,7 +59,23 @@ ALPHA_EPS = 1.0 / 255.0
 STOP_T = 1e-4
 BLOCK = 16
 PIX = BLOCK * BLOCK
-NFEAT = 25   # M9 | K9 | bb3 | rgb3 | opa1
+# Feature layout: MONOMIAL-COEFFICIENT form.  Every per-pixel quantity of
+# the ray quadratic is a polynomial in the ray coords d = (u, v, 1):
+#   AA  = |M d|^2 = d^T (M^T M) d      — quadratic form, 6 coefficients
+#   num = |K d|^2 = d^T (K^T K) d      — quadratic form, 6 coefficients
+#   BB  = 2 d . (M^T b)                — linear, 3 coefficients
+#   n   = (M^T M) d                    — linear, reuses AA's coefficients
+# so one (PIX, 6) monomial basis [u^2, uv, v^2, u, v, 1] contracted against
+# per-gaussian coefficient rows evaluates EVERYTHING — on the MXU, as one
+# matmul per chunk, instead of ~40 VPU FMAs per (pixel, gaussian).
+# Rows: qa[6] (A00, 2A01, A11, 2A02, 2A12, A22) | qk[6] (same form of K^T K)
+#       | B[3] | rgb[3] | opa[1].
+NFEAT = 19
+ROW_QA = 0
+ROW_QK = 6
+ROW_B = 12
+ROW_RGB = 15
+ROW_OPA = 18
 
 
 class RasterStatics(NamedTuple):
@@ -99,22 +115,32 @@ def _tile_rays(s: RasterStatics):
     return u, v
 
 
-def _expand_features(v2g_mb, rgb, opa):
-    """Per-gaussian form coefficients from the (M, b) packing, (P, NFEAT):
-    M itself, K = [b]_x M (so |K d|^2 = |b x (M d)|^2), M^T b, |b|^2."""
-    P = v2g_mb.shape[0]
-    M = v2g_mb[:, 0:9].reshape(P, 3, 3)
-    b = v2g_mb[:, 9:12]
+def _quadform6(r0, r1, r2):
+    """Monomial coefficients (xx, 2xy, yy, 2xz, 2yz, zz) of the quadratic
+    form d^T (G^T G) d where G has rows r0, r1, r2 (each a 3-list of (P,))."""
+    def cdot(i, j):
+        return r0[i] * r0[j] + r1[i] * r1[j] + r2[i] * r2[j]
+    return [cdot(0, 0), 2.0 * cdot(0, 1), cdot(1, 1),
+            2.0 * cdot(0, 2), 2.0 * cdot(1, 2), cdot(2, 2)]
 
-    zero = jnp.zeros_like(b[:, 0])
-    bx = jnp.stack([
-        jnp.stack([zero, -b[:, 2], b[:, 1]], -1),
-        jnp.stack([b[:, 2], zero, -b[:, 0]], -1),
-        jnp.stack([-b[:, 1], b[:, 0], zero], -1)], -2)      # [b]_x
-    K = jnp.einsum('pij,pjk->pik', bx, M)
-    bb3 = jnp.einsum('pki,pk->pi', M, b)                    # M^T b
-    return jnp.concatenate([v2g_mb[:, 0:9], K.reshape(P, 9), bb3,
-                            rgb, opa[:, None]], axis=1)
+
+def _expand_features(v2g_mb, rgb, opa):
+    """Per-gaussian monomial coefficients from the (M, b) packing — see the
+    NFEAT layout note above.  K = [b]_x M, so |K d|^2 = |b x (M d)|^2.
+    Pure SoA per-gaussian math (no (P, 3, 3) intermediates)."""
+    m = [v2g_mb[:, i] for i in range(9)]          # M row-major
+    b0, b1, b2 = v2g_mb[:, 9], v2g_mb[:, 10], v2g_mb[:, 11]
+    qa = _quadform6(m[0:3], m[3:6], m[6:9])
+    # rows of K = [b]_x M:  K0 = -b2 M1 + b1 M2; K1 = b2 M0 - b0 M2;
+    # K2 = -b1 M0 + b0 M1   (Mi = i-th row of M)
+    k0 = [-b2 * m[3 + j] + b1 * m[6 + j] for j in range(3)]
+    k1 = [b2 * m[j] - b0 * m[6 + j] for j in range(3)]
+    k2 = [-b1 * m[j] + b0 * m[3 + j] for j in range(3)]
+    qk = _quadform6(k0, k1, k2)
+    # B = M^T b
+    B = [m[i] * b0 + m[3 + i] * b1 + m[6 + i] * b2 for i in range(3)]
+    return jnp.stack(qa + qk + B + [rgb[:, 0], rgb[:, 1], rgb[:, 2], opa],
+                     axis=1)
 
 
 def _chunk_eval(feat_c, u, v):
@@ -126,25 +152,22 @@ def _chunk_eval(feat_c, u, v):
     """
     e = lambda i: feat_c[:, None, :, i]                  # (T, 1, C)
     U, V = u[..., None], v[..., None]                    # (T, PIX, 1)
-    m_ = [e(i) for i in range(9)]                        # row-major M
-    k_ = [e(9 + i) for i in range(9)]                    # row-major K
-    b0, b1, b2 = e(18), e(19), e(20)
-    opa = e(24)
+    qa = [e(ROW_QA + i) for i in range(6)]
+    qk = [e(ROW_QK + i) for i in range(6)]
+    B_ = [e(ROW_B + i) for i in range(3)]
+    opa = e(ROW_OPA)
 
-    a0 = m_[0] * U + m_[1] * V + m_[2]                   # a = M d
-    a1 = m_[3] * U + m_[4] * V + m_[5]
-    a2 = m_[6] * U + m_[7] * V + m_[8]
-    AA = a0 * a0 + a1 * a1 + a2 * a2                     # |a|^2
-    BB = 2.0 * (b0 * U + b1 * V + b2)                    # 2 a.b (exact id.)
-    k0 = k_[0] * U + k_[1] * V + k_[2]                   # K d = b x a
-    k1 = k_[3] * U + k_[4] * V + k_[5]
-    k2 = k_[6] * U + k_[7] * V + k_[8]
-    num = k0 * k0 + k1 * k1 + k2 * k2                    # |b x a|^2
+    def quad(q):
+        return ((q[0] * U + q[1] * V + q[3]) * U
+                + (q[2] * V + q[4]) * V + q[5])
+    AA = quad(qa)                                        # |M d|^2
+    num = quad(qk)                                       # |b x (M d)|^2
+    BB = 2.0 * (B_[0] * U + B_[1] * V + B_[2])           # 2 a.b
 
     AA_safe = jnp.where(AA == 0, 1e-12, AA)
     t = -BB / (2.0 * AA_safe)
-    # == CC - BB^2/(4 AA) for arbitrary (M, b); sum-of-squares form, so
-    # its f32 error is relative, not absolute (cf. forward.cu:511-522 f64).
+    # == CC - BB^2/(4 AA) for arbitrary (M, b); quotient of PSD quadratic
+    # forms, so the f32 error stays relative (cf. forward.cu:511-522 f64).
     min_value = num / AA_safe
     # pass-through clamps (CUDA keeps full gradients through min():
     # backward.cu:912 uses G regardless of the 0.99 clamp)
@@ -152,9 +175,11 @@ def _chunk_eval(feat_c, u, v):
     Gv = jnp.exp(power)
     alpha_raw = _passthrough_min(opa * Gv, 0.99)
 
-    nx = m_[0] * a0 + m_[3] * a1 + m_[6] * a2            # n = M^T a = A d
-    ny = m_[1] * a0 + m_[4] * a1 + m_[7] * a2
-    nz = m_[2] * a0 + m_[5] * a1 + m_[8] * a2
+    # n = M^T a = (M^T M) d — linear in d with A's entries (un-doubling the
+    # baked-in off-diagonal 2s)
+    nx = qa[0] * U + 0.5 * qa[1] * V + 0.5 * qa[3]
+    ny = 0.5 * qa[1] * U + qa[2] * V + 0.5 * qa[4]
+    nz = 0.5 * qa[3] * U + 0.5 * qa[4] * V + qa[5]
     length = jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-7)
     inv_len = 1.0 / length
     nn = jnp.stack([-nx * inv_len, -ny * inv_len, -nz * inv_len], -1)
@@ -163,7 +188,8 @@ def _chunk_eval(feat_c, u, v):
     m = (FAR_PLANE * t_pos - FAR_PLANE * NEAR_PLANE) / (
         (FAR_PLANE - NEAR_PLANE) * t_pos)
     return {"alpha_raw": alpha_raw, "G": Gv, "t": t, "m": m, "nn": nn,
-            "rgb": feat_c[:, None, :, 21:24] + jnp.zeros_like(U[..., None])}
+            "rgb": feat_c[:, None, :, ROW_RGB:ROW_RGB + 3]
+            + jnp.zeros_like(U[..., None])}
 
 
 def _passthrough_min(x, cap):
@@ -390,7 +416,7 @@ def _composite_bwd_impl(feat, conic, means2d, point_list, pair_valid,
         (d_feat_c,) = vjp_fn(cots)
 
         # densification stats (conic-based, backward.cu:896-909)
-        dL_dG = jnp.where(contrib, feat_c[:, None, :, 24] * d_alpha, 0.0)
+        dL_dG = jnp.where(contrib, feat_c[:, None, :, ROW_OPA] * d_alpha, 0.0)
         Gv = ct["G"]
         dx = ex_c[..., 3][:, None, :] - px[..., None]
         dy = ex_c[..., 4][:, None, :] - py[..., None]

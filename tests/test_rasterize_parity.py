@@ -282,20 +282,24 @@ class TestEndToEndGradients:
         checked = 0
         for ai in range(5):
             flat = f64args[ai].reshape(-1)
-            for trial in range(4):
+            for trial in range(8):
                 j = int(rng2.integers(flat.size))
                 fd = central_diff(ai, j, 1e-4)
                 fd2 = central_diff(ai, j, 3e-5)
                 # discrete structures (tile membership, eligibility masks)
-                # make the loss piecewise; skip indices where the two-step
-                # FD estimates disagree (the step straddles a boundary).
-                if abs(fd - fd2) > 0.05 * max(1.0, abs(fd), abs(fd2)):
+                # make the loss piecewise, and the f32 forward makes each FD
+                # estimate noisy; skip indices where the two-step estimates
+                # disagree (step straddles a boundary / noise-dominated) and
+                # budget the tolerance with the observed FD disagreement.
+                fd_noise = abs(fd - fd2)
+                if fd_noise > 0.02 * max(1.0, abs(fd), abs(fd2)):
                     continue
                 checked += 1
                 an = float(np.asarray(grads[ai]).reshape(-1)[j])
-                tol = 3e-2 * max(1.0, abs(fd), abs(an))
+                tol = 3e-2 * max(1.0, abs(fd), abs(an)) + 3.0 * fd_noise
                 assert abs(fd - an) < tol, (
-                    f"arg {ai} idx {j}: fd={fd:.5f} analytic={an:.5f}")
+                    f"arg {ai} idx {j}: fd={fd:.5f} fd2={fd2:.5f} "
+                    f"analytic={an:.5f}")
         assert checked >= 10, f"too few smooth FD samples ({checked})"
 
     def test_densification_stats_via_grad_tap(self, rng):
