@@ -104,12 +104,28 @@ def main(argv=None):
     if args.max_batches:
         n_batches = min(n_batches, args.max_batches)
 
+    from .pipeline import renderer as renderer_mod
+    import dataclasses as _dc
+
     for bi in range(n_batches):
         idx = range(bi * B, min((bi + 1) * B, len(ds)))
         batch = ds.batch(idx)
-        merged, renders, agg_views, g0 = cycle.run_nvs(
-            params, cfg, ds, batch["images"], batch["depth"],
-            return_first=True)
+        # resize-and-relaunch (the reference is exact at any load,
+        # rasterizer_impl.cu:247-405): on cap overflow, double the static
+        # caps and re-render — recompiles once per new cap, then caches
+        for attempt in range(4):
+            try:
+                merged, renders, agg_views, g0 = cycle.run_nvs(
+                    params, cfg, ds, batch["images"], batch["depth"],
+                    return_first=True)
+                break
+            except renderer_mod.RenderOverflow as e:
+                cfg = _dc.replace(cfg, pair_cap=cfg.pair_cap * 2,
+                                  max_per_tile=cfg.max_per_tile * 2)
+                print(f"[batch {bi}] {e}; replanning with pair_cap="
+                      f"{cfg.pair_cap} max_per_tile={cfg.max_per_tile}")
+        else:
+            raise RuntimeError("render caps still overflow after 3 doublings")
         rgb = np.asarray(renders["render"])          # (B, V, 3, H, W)
         depth_r = np.asarray(renders["rendered_depth"])
 

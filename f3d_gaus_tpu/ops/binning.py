@@ -69,7 +69,11 @@ def _fill_forward(values, starts, pair_cap):
     integrating.  Duplicate starts (empty segments) telescope to the LAST
     segment's value — exactly the slot-ownership rule.  int32-exact."""
     diffs = values - jnp.concatenate([values[:1] * 0, values[:-1]])
-    acc = jnp.zeros(pair_cap, values.dtype).at[starts].add(diffs, mode='drop')
+    # barrier: keep the scatter-add out of kCustom fusions (XLA-TPU's fused
+    # scatter emitter is serial — ~12x slower than the standalone scatter)
+    diffs = jax.lax.optimization_barrier(diffs)
+    acc = jax.lax.optimization_barrier(
+        jnp.zeros(pair_cap, values.dtype).at[starts].add(diffs, mode='drop'))
     return jnp.cumsum(acc)
 
 

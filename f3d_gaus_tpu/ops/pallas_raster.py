@@ -176,7 +176,10 @@ def _forms(W, U, V):
     ny = E[:, 4 * Cw:5 * Cw]
     nz = E[:, 5 * Cw:6 * Cw]
 
-    AA_safe = jnp.where(AA == 0, 1e-12, AA)
+    # clamp the PSD forms at zero/tiny — f32 rounding can push them slightly
+    # negative for thin gaussians (see rasterize._chunk_eval)
+    AA_safe = jnp.maximum(AA, 1e-12)
+    num = jnp.maximum(num, 0.0)
     t = -BB / (2.0 * AA_safe)
     min_value = num / AA_safe
     power = _passthrough_min(-0.5 * min_value, 0.0)
@@ -285,7 +288,7 @@ def _fwd_kernel(s, NCH, cnt_ref, win_ref, outf_ref, outi_ref, accf, acci,
         mw = m * w
         m2w = m * mw
         both = jnp.concatenate([mw, m2w], axis=0)
-        both_x = _cumsum_incl(both) - both
+        both_x = _cumsum_excl(both)
         d1x = accf[:, AF_D1:AF_D1 + 1] + both_x[:PIX]
         d2x = accf[:, AF_D2:AF_D2 + 1] + both_x[PIX:]
         err = m * m * A_acc + d2x - 2.0 * m * d1x
@@ -416,7 +419,7 @@ def _bwd_kernel(s, NCH, cnt_ref, win_ref, gl_ref, bwf_ref, bwi_ref, dwin_ref,
                    + gl_nn[2] * ct["n2"])
         # both suffix sums in ONE reverse lane scan (stacked on sublanes)
         wboth = jnp.concatenate([w * cbar_rgb, w * cbar_nn], axis=0)
-        wboth_x = _cumsum_rev_incl(wboth) - wboth
+        wboth_x = _cumsum_rev_excl(wboth)
         S_rgb = accb[:, 1:2] + wboth_x[:PIX]
         S_nn = accb[:, 2:3] + wboth_x[PIX:]
 
@@ -525,15 +528,21 @@ def _build_windows(feat, conic, means2d, point_list, pair_valid, tile_start,
     idx = tile_start[:, None] + offs
     win_valid = offs < jnp.minimum(tile_count, K)[:, None]
     idx_c = jnp.clip(idx, 0, point_list.shape[0] - 1).reshape(-1)
-    gids = point_list[idx_c]                            # flat (T*K,)
-    win_valid = win_valid & pair_valid[idx_c].reshape(T_tiles, K)
+    # optimization_barrier: XLA-TPU otherwise fuses these gathers with their
+    # index arithmetic into kCustom gather fusions lowered through a serial
+    # emitter (~35x slower than the standalone vectorized gather; measured
+    # 1.9 ms vs 0.05 ms for the point_list gather at the flagship shape)
+    idx_c = jax.lax.optimization_barrier(idx_c)
+    gids = jax.lax.optimization_barrier(point_list[idx_c])  # flat (T*K,)
+    win_valid = win_valid & jax.lax.optimization_barrier(
+        pair_valid[idx_c]).reshape(T_tiles, K)
 
     parts = [feat, conic, means2d]
     pad = FPAD - feat.shape[1] - 5
     if pad:
         parts.append(jnp.zeros((P, pad), feat.dtype))
-    allf = jnp.concatenate(parts, axis=1)
-    win = allf[gids]                                    # (T*K, FPAD)
+    allf = jax.lax.optimization_barrier(jnp.concatenate(parts, axis=1))
+    win = jax.lax.optimization_barrier(allf[gids])      # (T*K, FPAD)
     win = win.reshape(T_tiles, NCH, C, FPAD)
     win = jnp.transpose(win, (0, 1, 3, 2))              # (T, NCH, FPAD, C)
     return win, gids.reshape(T_tiles, K), win_valid
@@ -620,9 +629,10 @@ def _composite_bwd(statics, res, cts):
     NCH = _n_chunks(s.max_per_tile)
     slab = jnp.transpose(dwin, (0, 1, 3, 2)).reshape(T_tiles, NCH * C, FPAD)
 
-    seg = jnp.where(win_valid, gids, P).reshape(-1)
-    d_all = jax.ops.segment_sum(slab.reshape(-1, FPAD), seg,
-                                num_segments=P + 1)[:P]
+    seg = jax.lax.optimization_barrier(
+        jnp.where(win_valid, gids, P).reshape(-1))
+    d_all = jax.lax.optimization_barrier(jax.ops.segment_sum(
+        slab.reshape(-1, FPAD), seg, num_segments=P + 1))[:P]
     d_feat = d_all[:, :R.NFEAT]
     d_m2d = d_all[:, ROW_CONIC:ROW_CONIC + 3]
 

@@ -164,10 +164,16 @@ def _chunk_eval(feat_c, u, v):
     num = quad(qk)                                       # |b x (M d)|^2
     BB = 2.0 * (B_[0] * U + B_[1] * V + B_[2])           # 2 a.b
 
-    AA_safe = jnp.where(AA == 0, 1e-12, AA)
+    # AA and num are values of PSD quadratic forms, so their TRUE values are
+    # >= 0 — but the monomial-coefficient evaluation can round slightly
+    # negative for thin gaussians (one scale ~1e-4: catastrophic cancellation
+    # between the u^2/v^2 and cross terms).  A negative AA flips the sign of
+    # t and min_value (spurious opaque splat at garbage depth), so clamp both
+    # at zero/tiny — the clamp only binds in the degenerate regime where the
+    # reference's f64 path (forward.cu:511-522) is itself at the noise floor.
+    AA_safe = jnp.maximum(AA, 1e-12)
+    num = jnp.maximum(num, 0.0)
     t = -BB / (2.0 * AA_safe)
-    # == CC - BB^2/(4 AA) for arbitrary (M, b); quotient of PSD quadratic
-    # forms, so the f32 error stays relative (cf. forward.cu:511-522 f64).
     min_value = num / AA_safe
     # pass-through clamps (CUDA keeps full gradients through min():
     # backward.cu:912 uses G regardless of the 0.99 clamp)

@@ -97,6 +97,9 @@ def render_forward(pre, camera, bg, subpixel_offset=None) -> OracleResult:
     """pre: core.gaussians.Preprocessed (numpy-convertible), camera: Camera."""
     W, H = camera.width, camera.height
     fx, fy = camera.focal_x, camera.focal_y
+    if pre.v2g is None:
+        raise ValueError(
+            "oracle needs the CUDA-layout v2g: preprocess(..., compute_v2g=True)")
     v2g = np.asarray(pre.v2g, np.float64)
     rgb = np.asarray(pre.rgb, np.float64)
     opa = np.asarray(pre.opa_coef, np.float64)
@@ -175,6 +178,9 @@ def render_backward(pre, camera, bg, fwd: OracleResult, dL_dout):
     dL_drgb (P, 3), dL_dopa_coef (P,), dL_dmean2d (P, 3) [x, y, |.|]."""
     W, H = camera.width, camera.height
     fx, fy = camera.focal_x, camera.focal_y
+    if pre.v2g is None:
+        raise ValueError(
+            "oracle needs the CUDA-layout v2g: preprocess(..., compute_v2g=True)")
     v2g = np.asarray(pre.v2g, np.float64)
     rgb = np.asarray(pre.rgb, np.float64)
     opa = np.asarray(pre.opa_coef, np.float64)

@@ -99,12 +99,17 @@ def cycle_aggregate(params, cfg: PipelineConfig, pcfg, gaussians,
 
 
 def run_nvs(params, cfg: PipelineConfig, dataset, images, depth, bg=None,
-            return_first=False):
+            return_first=False, check_overflow=True):
     """End-to-end single-batch NVS: first forward -> cycle -> orbit renders.
 
     images: (B, H, W, 3); depth: (B, H, W).  Returns (merged_gaussians,
     nvs renders dict (B, V, ...), aggregation views dict[, first-forward
     gaussians when return_first]).
+
+    check_overflow: raise renderer.RenderOverflow if ANY render (aggregation
+    or NVS) exceeded cfg.pair_cap / cfg.max_per_tile — the 9x merged set can
+    overflow caps sized for a single forward.  Catch it, double the caps
+    (dataclasses.replace on cfg) and retry; the CLI does this automatically.
     """
     pcfg = cfg.predictor_config()
     bg = jnp.zeros(3, jnp.float32) if bg is None else jnp.asarray(bg)
@@ -124,6 +129,14 @@ def run_nvs(params, cfg: PipelineConfig, dataset, images, depth, bg=None,
     renders = renderer.render_views_batched(
         merged, jnp.asarray(nvs.world_view), jnp.asarray(nvs.full_proj),
         jnp.asarray(nvs.cam_centers), bg, cfg)
+    if check_overflow:
+        n_over = int(jnp.sum(agg_views["overflow"])
+                     + jnp.sum(renders["overflow"]))
+        if n_over:
+            raise renderer.RenderOverflow(
+                f"{n_over} renders exceeded the static caps (pair_cap="
+                f"{cfg.pair_cap}, max_per_tile={cfg.max_per_tile}) and "
+                f"would truncate; double the caps or use rasterize.plan_caps")
     if return_first:
         return merged, renders, agg_views, g0
     return merged, renders, agg_views

@@ -25,6 +25,14 @@ from ..ops import rasterize
 from .config import PipelineConfig
 
 
+class RenderOverflow(RuntimeError):
+    """A render exceeded its static caps (pair_cap / max_per_tile) and would
+    silently truncate.  The CUDA reference is exact at any load (it resizes
+    its buffers and relaunches, rasterizer_impl.cu:247-405); the static-shape
+    analog is: catch this, double the caps (or call rasterize.plan_caps) and
+    re-render.  cycle.run_nvs raises it; the CLI auto-replans."""
+
+
 def depth_to_normal(world_view, depth, width, height, tan_fovx, tan_fovy):
     """Normals from a depth map (reference depth_to_normal, :898-909).
 
@@ -83,6 +91,7 @@ def render_gaussians(gaussians: dict, b: int, world_view, full_proj,
         "distortion_map": out["distortion_map"],
         "radii": out["radii"],
         "visibility_filter": out["radii"] > 0,
+        "overflow": out["overflow"],
     }
 
 
@@ -105,6 +114,11 @@ def render_views_batched(gaussians: dict, world_views, full_projs,
         out = render_gaussians(g, 0, wv, fp, cc, bg, cfg)
         out.pop("radii"), out.pop("visibility_filter")
         return out
+
+    # the per-(element, view) overflow flags ride the output dict as a
+    # (B, V) bool map — callers MUST check it (cycle.run_nvs raises
+    # RenderOverflow; the CLI replans caps), because a static-cap
+    # truncation is otherwise silent
 
     def per_view(args):
         wv, fp, cc = args

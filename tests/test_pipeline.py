@@ -63,8 +63,11 @@ class TestCyclePipeline:
         params = predictor.init_params(jax.random.PRNGKey(0),
                                        cfg.predictor_config())
         b = ds.batch([0, 1])
+        # check_overflow=False: this test checks SHAPES at deliberately tiny
+        # caps; exactness under overflow is covered by
+        # test_overflow_raises_and_replan_recovers
         merged, renders, agg_views = cycle.run_nvs(
-            params, cfg, ds, b["images"], b["depth"])
+            params, cfg, ds, b["images"], b["depth"], check_overflow=False)
         B, P = 2, 32 * 32
         V_total = cfg.num_aggregation_views + 1
         assert merged["xyz"].shape == (B, V_total * P, 3)
@@ -77,6 +80,62 @@ class TestCyclePipeline:
         # aggregation renders exist for each aggregation view
         assert agg_views["render"].shape == (B, cfg.num_aggregation_views,
                                              3, 32, 32)
+
+    def test_overflow_raises_and_replan_recovers(self, small_cfg, demo_folder):
+        """Static caps too small for the merged 9x set must raise
+        RenderOverflow (no silent truncation — the CUDA reference is exact
+        at any load, rasterizer_impl.cu:247-405); doubled caps recover."""
+        import dataclasses
+        from f3d_gaus_tpu.ops import rasterize
+        from f3d_gaus_tpu.core.cameras import Camera
+
+        ds = dataset.DemoDataset(demo_folder, small_cfg)
+        params = predictor.init_params(jax.random.PRNGKey(0),
+                                       small_cfg.predictor_config())
+        b = ds.batch([0])
+        tiny = dataclasses.replace(small_cfg, pair_cap=1 << 8, max_per_tile=32,
+                                   chunk=32)
+        with pytest.raises(renderer.RenderOverflow):
+            cycle.run_nvs(params, tiny, ds, b["images"], b["depth"])
+
+        # recovery: measure exact caps with plan_caps (two-phase sizing) on
+        # the merged set over every NVS camera, then re-render exactly
+        merged, _, _ = cycle.run_nvs(params, tiny, ds, b["images"],
+                                     b["depth"], check_overflow=False)
+        nvs = cycle.nvs_cameras(tiny, ds.inverse_first_camera)
+        agg = cycle.aggregation_cameras(tiny, ds.inverse_first_camera)
+        cams = ([nvs.camera(v, tiny.resolution, tiny.resolution,
+                            tiny.tan_fov, tiny.tan_fov)
+                 for v in range(nvs.world_view.shape[0])]
+                + [agg.camera(v, tiny.resolution, tiny.resolution,
+                              tiny.tan_fov, tiny.tan_fov)
+                   for v in range(agg.world_view.shape[0])])
+        pair_cap, mpt = 1, 32
+        for cam in cams:
+            caps = rasterize.plan_caps(
+                merged["xyz"][0], merged["scaling"][0],
+                merged["rotation"][0], merged["opacity"][0], cam,
+                kernel_size=tiny.kernel_size, pair_bucket=1 << 10,
+                tile_bucket=32)
+            pair_cap = max(pair_cap, caps["pair_cap"])
+            mpt = max(mpt, caps["max_per_tile"])
+        # planning from a TRUNCATED run's merged set can underestimate (the
+        # recovered renders re-predict different gaussians), so finish with
+        # the CLI's double-until-fit policy
+        cfg2 = dataclasses.replace(tiny, pair_cap=pair_cap, max_per_tile=mpt)
+        for _ in range(4):
+            try:
+                _, renders, _ = cycle.run_nvs(params, cfg2, ds, b["images"],
+                                              b["depth"])
+                break
+            except renderer.RenderOverflow:
+                cfg2 = dataclasses.replace(
+                    cfg2, pair_cap=cfg2.pair_cap * 2,
+                    max_per_tile=cfg2.max_per_tile * 2)
+        else:
+            pytest.fail("caps never became sufficient")
+        assert bool(jnp.isfinite(renders["render"]).all())
+        assert not bool(jnp.any(renders["overflow"]))
 
     def test_yaml_roundtrip(self):
         ref = "/root/reference/config/imagenetgs_256x256_v1.yaml"
