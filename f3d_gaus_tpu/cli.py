@@ -113,7 +113,7 @@ def main(argv=None):
         # resize-and-relaunch (the reference is exact at any load,
         # rasterizer_impl.cu:247-405): on cap overflow, double the static
         # caps and re-render — recompiles once per new cap, then caches
-        for attempt in range(4):
+        for attempt in range(8):
             try:
                 merged, renders, agg_views, g0 = cycle.run_nvs(
                     params, cfg, ds, batch["images"], batch["depth"],
@@ -125,7 +125,7 @@ def main(argv=None):
                 print(f"[batch {bi}] {e}; replanning with pair_cap="
                       f"{cfg.pair_cap} max_per_tile={cfg.max_per_tile}")
         else:
-            raise RuntimeError("render caps still overflow after 3 doublings")
+            raise RuntimeError("render caps still overflow after 7 doublings")
         rgb = np.asarray(renders["render"])          # (B, V, 3, H, W)
         depth_r = np.asarray(renders["rendered_depth"])
 

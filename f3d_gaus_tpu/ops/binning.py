@@ -1,4 +1,4 @@
-"""Tile binning under XLA static shapes.
+"""Tile binning under XLA static shapes — aligned-slab formulation.
 
 The CUDA reference materializes a dynamically-sized (Gaussian, tile) pair
 list (duplicateWithKeys + CUB radix sort + identifyTileRanges,
@@ -9,18 +9,23 @@ static shapes, so this module re-designs that as:
     the reference's resizeFunctional closures (rasterize_points.cu:28-34);
   * DEPTH-RANK RELABELING: the P gaussians are depth-sorted ONCE (P-sized
     sort, ~20x smaller than the pair list), and every pair carries the
-    gaussian's depth RANK instead of its float depth — sorting pairs by
-    (tile, rank) is then exactly the reference's (tile, depth, id) order,
-    with two int keys instead of a float key + stability requirements;
-  * pair expansion with NO gathers over the pair axis: per-slot step
-    functions (segment start, base tile, rect width, gaussian id) are
-    reconstructed by scattering per-gaussian VALUE DIFFS at the segment
-    starts and integrating with an int32 cumsum — exact in integer
-    arithmetic, and ~2 ms/channel cheaper than a random 1M-element gather
-    on TPU (measured: the gather formulation cost 13.8 ms of a 14.2 ms
-    binning pass at pair_cap 2^18; this formulation ~2 ms total);
-  * per-tile ranges via searchsorted (only num_tiles queries — cheap)
-    instead of identifyTileRanges.
+    gaussian's depth RANK instead of its float depth — and the float depth
+    key itself is sorted as a BITCAST int32 (monotone for non-negative
+    IEEE floats; f32 comparators are ~20x slower than s32 on TPU);
+  * ONE packed int32 pair key `tile * 2^ceil_log2(P) + rank` (exactly the
+    reference's 64-bit tile<<32|depth key, in 31 bits) sorted as a single
+    array — rank and gaussian id are DECODED from the key after the sort
+    instead of riding along as extra sort operands;
+  * per-slot step functions (segment start, packed rect) recovered by rank
+    GATHERS from P-sized tables after one scatter+cumsum builds the rank
+    map — replacing four scatter+cumsum fill-forward passes;
+  * ALIGNED SLAB OUTPUT: each tile's depth-sorted pair segment is placed at
+    a 128-aligned offset (`tile_start` is always a multiple of 128, gaps
+    padded with the sentinel id P).  Downstream kernels then address a
+    tile's pairs by BLOCK INDEX — the Pallas compositing kernels DMA
+    feature blocks straight out of the slab with zero gather ops, which is
+    the TPU analog of the CUDA kernel's shared-memory staging by
+    `point_list` offset (forward.cu:456-490).
 
 Everything here is order/selection logic: it runs under stop_gradient; the
 differentiable path consumes only the resulting gather indices.
@@ -33,16 +38,29 @@ import jax
 import jax.numpy as jnp
 
 BLOCK = 16
+ALIGN = 128           # slab segment alignment == compositing chunk width
+INT32_MAX = jnp.int32(2147483647)
 
 
 class Binning(NamedTuple):
-    point_list: jnp.ndarray    # (pair_cap,) int32 gaussian ids, depth-sorted per tile
-    pair_valid: jnp.ndarray    # (pair_cap,) bool
-    tile_start: jnp.ndarray    # (num_tiles,) int32
-    tile_count: jnp.ndarray    # (num_tiles,) int32
+    # point_list is the ALIGNED SLAB: size pair_cap + num_tiles*ALIGN;
+    # tile t's pairs occupy [tile_start[t], tile_start[t] + tile_count[t]),
+    # depth-sorted; tile_start[t] % ALIGN == 0; padding slots hold the
+    # sentinel id P (== number of gaussians).
+    point_list: jnp.ndarray    # (slab_cap,) int32 gaussian ids, P = padding
+    pair_valid: jnp.ndarray    # (slab_cap,) bool — point_list < P
+    tile_start: jnp.ndarray    # (num_tiles,) int32, multiples of ALIGN
+    tile_count: jnp.ndarray    # (num_tiles,) int32 (UNclamped true count)
     num_pairs: jnp.ndarray     # () int32 — actual pairs (<= pair_cap if no overflow)
     overflow: jnp.ndarray      # () bool — true if pair_cap was insufficient
     grid: tuple                # (grid_x, grid_y) static
+
+
+def slab_cap(pair_cap: int, width: int, height: int) -> int:
+    """Static size of the aligned slab for a given pair capacity + image."""
+    grid_x = (width + BLOCK - 1) // BLOCK
+    grid_y = (height + BLOCK - 1) // BLOCK
+    return pair_cap + grid_x * grid_y * ALIGN
 
 
 def tile_rects(means2d: jnp.ndarray, radii: jnp.ndarray, width: int, height: int):
@@ -63,27 +81,41 @@ def tile_rects(means2d: jnp.ndarray, radii: jnp.ndarray, width: int, height: int
     return xmin, ymin, xmax, ymax, count
 
 
-def _fill_forward(values, starts, pair_cap):
+def _sortable_depth_key(depths, radii):
+    """Monotone int32 key for non-negative f32 depths (culled -> +inf).
+    IEEE non-negative floats bitcast to int32 preserve order; f32 sort
+    comparators are ~20x slower than s32 on TPU, so this is load-bearing."""
+    dk = jnp.where(radii > 0, jnp.maximum(depths.astype(jnp.float32), 0.0),
+                   jnp.inf)
+    return jax.lax.bitcast_convert_type(dk, jnp.int32)
+
+
+def _fill_forward(values, starts, n):
     """Reconstruct the per-slot step function slot -> values[segment(slot)]
     by scattering per-segment diffs at the (monotone) segment starts and
     integrating.  Duplicate starts (empty segments) telescope to the LAST
     segment's value — exactly the slot-ownership rule.  int32-exact."""
     diffs = values - jnp.concatenate([values[:1] * 0, values[:-1]])
-    # barrier: keep the scatter-add out of kCustom fusions (XLA-TPU's fused
-    # scatter emitter is serial — ~12x slower than the standalone scatter)
-    diffs = jax.lax.optimization_barrier(diffs)
-    acc = jax.lax.optimization_barrier(
-        jnp.zeros(pair_cap, values.dtype).at[starts].add(diffs, mode='drop'))
+    acc = jnp.zeros(n, values.dtype).at[starts].add(diffs, mode='drop')
     return jnp.cumsum(acc)
 
 
 def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
-                  width: int, height: int, pair_cap: int) -> Binning:
-    """Build the depth-sorted per-tile gaussian lists.
+                  width: int, height: int, pair_cap: int,
+                  max_per_tile: int | None = None) -> Binning:
+    """Build the aligned per-tile depth-sorted gaussian slab.
 
     means2d: (P, 2) pixel coords; radii: (P,) int32 (0 = culled);
-    depths: (P,) view z.  All inputs are treated as constants
-    (stop_gradient applied internally).
+    depths: (P,) view z (non-negative for visible gaussians).  All inputs
+    are treated as constants (stop_gradient applied internally).
+
+    max_per_tile: if given, pairs beyond the first max_per_tile of a tile
+    are dropped from the slab (they become sentinel padding) so every slab
+    block is walked by an NCH = max_per_tile/128 chunk loop — REQUIRED when
+    the slab feeds the Pallas kernels (unwalked blocks would otherwise pass
+    uninitialized gradient rows into the segment reduction).  tile_count
+    stays unclamped so callers can detect the truncation (overflow check in
+    rasterize.render).
     """
     means2d = jax.lax.stop_gradient(means2d)
     radii = jax.lax.stop_gradient(radii)
@@ -93,14 +125,12 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     grid_y = (height + BLOCK - 1) // BLOCK
     num_tiles = grid_x * grid_y
     P = means2d.shape[0]
+    NPAD = pair_cap + num_tiles * ALIGN
 
-    # Depth-rank relabeling: pairs carry the gaussian's depth RANK, so the
-    # within-tile order (depth asc, id asc — the reference's 64-bit
-    # tile|depth key + stable expansion order) is ONE int key.  Culled
-    # gaussians sort to the back (inf) but emit no pairs anyway.
+    # --- depth-rank relabeling (sortable-int keys)
     ids = jnp.arange(P, dtype=jnp.int32)
-    dk = jnp.where(radii > 0, depths.astype(jnp.float32), jnp.inf)
-    _, perm = jax.lax.sort((dk, ids), num_keys=1, is_stable=True)
+    ik = _sortable_depth_key(depths, radii)
+    _, perm = jax.lax.sort((ik, ids), num_keys=1, is_stable=True)
 
     xmin, ymin, xmax, ymax, count = tile_rects(means2d[perm], radii[perm],
                                                width, height)
@@ -119,28 +149,68 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     rank = jnp.cumsum(marks) - 1
     pair_valid = slots < total
 
-    # Per-slot step functions, fill-forward (no pair-axis gathers):
-    base_tile = ymin * grid_x + xmin
-    rect_w = jnp.maximum(xmax - xmin, 1)
+    # Per-slot step functions via fill-forward (scatter diffs + integrate).
+    # Scalar TPU gathers run ~9 ns/element (serial emitter) so table[rank]
+    # lookups are 3-4x SLOWER than one more scatter+cumsum; (base_tile,
+    # rect_w) share one packed word to keep it at three passes.
+    # rect_w <= grid_x <= 127 for any width <= 2032.
+    if grid_x > 127:
+        raise ValueError("grid_x > 127 unsupported by the packed rect word")
+    packed = ((ymin * grid_x + xmin) * jnp.int32(128)
+              + jnp.maximum(xmax - xmin, 1))
     start_f = _fill_forward(starts, starts, pair_cap)
-    base_f = _fill_forward(base_tile, starts, pair_cap)
-    rectw_f = jnp.maximum(_fill_forward(rect_w, starts, pair_cap), 1)
+    packed_f = _fill_forward(packed, starts, pair_cap)
     gid_f = _fill_forward(perm, starts, pair_cap)
+    base_f = packed_f // jnp.int32(128)
+    rectw_f = jnp.maximum(packed_f % jnp.int32(128), 1)
 
     delta = slots - start_f
     tile = base_f + delta % rectw_f + (delta // rectw_f) * grid_x
-    tile = jnp.where(pair_valid, tile, num_tiles)      # sentinel sorts last
 
-    # (tile, rank) is unique per pair -> unstable 2-key sort is exact.
-    tile_s, _, gid_s = jax.lax.sort((tile, rank, gid_f), num_keys=2)
-    valid_s = tile_s < num_tiles
-
-    tile_start = jnp.searchsorted(tile_s, jnp.arange(num_tiles, dtype=jnp.int32),
+    # --- ONE packed int32 sort key: tile * 2^bits(P) + rank; gaussian id
+    # rides as the payload array (f32-keyed or 3-array sorts are slower)
+    rank_bits = max(int(P - 1).bit_length(), 1)
+    tile_bits = int(num_tiles).bit_length()
+    if rank_bits + tile_bits <= 31:
+        rmod = jnp.int32(1 << rank_bits)
+        key = jnp.where(pair_valid, tile * rmod + rank, INT32_MAX)
+        key_s, gid_s = jax.lax.sort((key, gid_f), num_keys=1)
+        valid_s = key_s != INT32_MAX
+        tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * rmod
+        bounds = jnp.searchsorted(key_s, tile_bounds,
                                   side='left').astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_s, jnp.arange(num_tiles, dtype=jnp.int32),
-                                side='right').astype(jnp.int32)
-    return Binning(point_list=gid_s, pair_valid=valid_s,
-                   tile_start=tile_start, tile_count=tile_end - tile_start,
+    else:
+        # wide fallback (huge P x huge grid): classic 2-key sort
+        tile_k = jnp.where(pair_valid, tile, num_tiles)
+        tile_s, _, gid_s = jax.lax.sort((tile_k, rank, gid_f), num_keys=2)
+        valid_s = tile_s < num_tiles
+        tgrid = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(tile_s, tgrid, side='left').astype(jnp.int32)
+    gid_s = jnp.where(valid_s, gid_s, P)
+
+    tile_start_c = bounds[:-1]                        # compact coords
+    tile_count = bounds[1:] - bounds[:-1]
+
+    # --- aligned slab placement: tile t's segment starts at a multiple of
+    # ALIGN; downstream kernels block-index it without gathers.
+    keep = jnp.minimum(tile_count, pair_cap if max_per_tile is None
+                       else max_per_tile)
+    csz = ((keep + ALIGN - 1) // ALIGN) * ALIGN
+    aligned_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(csz)[:-1]])
+    shift_f = _fill_forward(aligned_start - tile_start_c, tile_start_c,
+                            pair_cap)
+    pos = jnp.where(valid_s, slots + shift_f, NPAD)
+    if max_per_tile is not None:
+        # drop pairs past the compositing window so every slab block is
+        # covered by the kernels' chunk walk
+        within = slots - _fill_forward(tile_start_c, tile_start_c, pair_cap)
+        pos = jnp.where(within < max_per_tile, pos, NPAD)
+    slab = jnp.full((NPAD + 1,), P, jnp.int32).at[pos].set(
+        gid_s, mode='drop')[:NPAD]
+
+    return Binning(point_list=slab, pair_valid=slab < P,
+                   tile_start=aligned_start, tile_count=tile_count,
                    num_pairs=jnp.minimum(total, pair_cap),
                    overflow=overflow, grid=(grid_x, grid_y))
 

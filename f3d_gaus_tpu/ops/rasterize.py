@@ -101,11 +101,14 @@ class RenderAux(NamedTuple):
     max_pos: jnp.ndarray    # int32 window pos of the median-depth contributor
 
 
-def _tile_rays(s: RasterStatics):
-    """Per-tile pixel rays: u, v of shape (num_tiles, PIX)."""
+def _tile_rays(s: RasterStatics, row_off=0):
+    """Per-tile pixel rays: u, v of shape (num_tiles, PIX).  row_off (traced
+    int) shifts the tile rows — the statics describe a BAND of grid_y tile
+    rows starting at global row row_off, while width/height/focal stay the
+    GLOBAL camera geometry (tile-sharded rendering, parallel/sharded.py)."""
     tiles = jnp.arange(s.grid_x * s.grid_y, dtype=jnp.int32)
     tx = (tiles % s.grid_x)[:, None]
-    ty = (tiles // s.grid_x)[:, None]
+    ty = (tiles // s.grid_x)[:, None] + row_off
     ix = (jnp.arange(PIX, dtype=jnp.int32) % BLOCK)[None, :]
     iy = (jnp.arange(PIX, dtype=jnp.int32) // BLOCK)[None, :]
     px = (tx * BLOCK + ix).astype(jnp.float32) + 0.5
@@ -124,10 +127,10 @@ def _quadform6(r0, r1, r2):
             2.0 * cdot(0, 2), 2.0 * cdot(1, 2), cdot(2, 2)]
 
 
-def _expand_features(v2g_mb, rgb, opa):
-    """Per-gaussian monomial coefficients from the (M, b) packing — see the
-    NFEAT layout note above.  K = [b]_x M, so |K d|^2 = |b x (M d)|^2.
-    Pure SoA per-gaussian math (no (P, 3, 3) intermediates)."""
+def _expand_feature_columns(v2g_mb, rgb, opa):
+    """The NFEAT per-gaussian monomial-coefficient columns as a list of
+    (P,) arrays — callers stack them together with whatever extra columns
+    they carry (pallas_raster appends conic/means2d) in ONE fusion."""
     m = [v2g_mb[:, i] for i in range(9)]          # M row-major
     b0, b1, b2 = v2g_mb[:, 9], v2g_mb[:, 10], v2g_mb[:, 11]
     qa = _quadform6(m[0:3], m[3:6], m[6:9])
@@ -139,8 +142,14 @@ def _expand_features(v2g_mb, rgb, opa):
     qk = _quadform6(k0, k1, k2)
     # B = M^T b
     B = [m[i] * b0 + m[3 + i] * b1 + m[6 + i] * b2 for i in range(3)]
-    return jnp.stack(qa + qk + B + [rgb[:, 0], rgb[:, 1], rgb[:, 2], opa],
-                     axis=1)
+    return qa + qk + B + [rgb[:, 0], rgb[:, 1], rgb[:, 2], opa]
+
+
+def _expand_features(v2g_mb, rgb, opa):
+    """Per-gaussian monomial coefficients from the (M, b) packing — see the
+    NFEAT layout note above.  K = [b]_x M, so |K d|^2 = |b x (M d)|^2.
+    Pure SoA per-gaussian math (no (P, 3, 3) intermediates)."""
+    return jnp.stack(_expand_feature_columns(v2g_mb, rgb, opa), axis=1)
 
 
 def _chunk_eval(feat_c, u, v):
@@ -236,10 +245,10 @@ def _gather_windows(point_list, pair_valid, tile_start, tile_count,
 # ---------------------------------------------------------------------------
 
 def _composite_fwd_impl(feat, point_list, pair_valid, tile_start, tile_count,
-                        bg, s: RasterStatics):
+                        bg, s: RasterStatics, row_off=0):
     """Returns (out (num_tiles, PIX, 9), aux: RenderAux)."""
     T_tiles = s.grid_x * s.grid_y
-    u, v = _tile_rays(s)
+    u, v = _tile_rays(s, row_off)
     n_chunks = max(s.max_per_tile // s.chunk, 1)
     C = s.chunk
     _, win_valid, wfeat, _ = _gather_windows(point_list, pair_valid,
@@ -326,11 +335,11 @@ def _composite_fwd_impl(feat, point_list, pair_valid, tile_start, tile_count,
 
 def _composite_bwd_impl(feat, conic, means2d, point_list, pair_valid,
                         tile_start, tile_count, bg, s: RasterStatics,
-                        aux: RenderAux, g_out):
+                        aux: RenderAux, g_out, row_off=0):
     """Returns (d_feat (P, NFEAT), dmean2d_stats (P, 3)) via one
     deterministic segment reduction over the scan-stacked chunk grads."""
     P = feat.shape[0]
-    u, v = _tile_rays(s)
+    u, v = _tile_rays(s, row_off)
     n_chunks = max(s.max_per_tile // s.chunk, 1)
     C = s.chunk
     extra = jnp.concatenate([conic, means2d], axis=1)           # (P, 5)
@@ -470,48 +479,53 @@ def _composite_bwd_impl(feat, conic, means2d, point_list, pair_valid,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
 def composite(v2g_mb, rgb, opa, conic, means2d, means2d_stats, point_list,
-              pair_valid, tile_start, tile_count, bg, statics: RasterStatics):
+              pair_valid, tile_start, tile_count, bg, row_off,
+              statics: RasterStatics):
     """Differentiable tile compositing.  Inputs with gradients: v2g_mb
     (the stable (M, b) ray-quadratic packing, (P, 12)), rgb, opa,
     means2d_stats (a zeros tensor whose cotangent receives the
     densification statistics — the JAX analog of the reference's
-    screenspace_points dummy).  Returns (out (tiles, PIX, 9), aux)."""
+    screenspace_points dummy).  row_off: traced int32 global tile-row
+    offset of this band (0 for full-frame).  Returns (out (tiles, PIX, 9),
+    aux)."""
     feat = _expand_features(v2g_mb, rgb, opa)
     out, aux = _composite_fwd_impl(feat, point_list, pair_valid,
-                                   tile_start, tile_count, bg, statics)
+                                   tile_start, tile_count, bg, statics,
+                                   row_off)
     return out, aux
 
 
 def _composite_fwd(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
                    point_list, pair_valid, tile_start, tile_count, bg,
-                   statics):
+                   row_off, statics):
     feat = _expand_features(v2g_mb, rgb, opa)
     out, aux = _composite_fwd_impl(feat, point_list, pair_valid,
-                                   tile_start, tile_count, bg, statics)
+                                   tile_start, tile_count, bg, statics,
+                                   row_off)
     res = (v2g_mb, rgb, opa, feat, conic, means2d, point_list, pair_valid,
-           tile_start, tile_count, bg, aux)
+           tile_start, tile_count, bg, row_off, aux)
     return (out, aux), res
 
 
 def _composite_bwd(statics, res, cts):
     (v2g_mb, rgb, opa, feat, conic, means2d, point_list, pair_valid,
-     tile_start, tile_count, bg, aux) = res
+     tile_start, tile_count, bg, row_off, aux) = res
     g_out, _ = cts   # aux is non-differentiable
     d_feat, d_m2d = _composite_bwd_impl(
         feat, conic, means2d, point_list, pair_valid, tile_start, tile_count,
-        bg, statics, aux, g_out)
+        bg, statics, aux, g_out, row_off)
     # pull the feature cotangent back to (v2g_mb, rgb, opa) — the expansion
     # is pure per-gaussian math, autodiff is exact
     _, expand_vjp = jax.vjp(_expand_features, v2g_mb, rgb, opa)
     d_mb, d_rgb, d_opa = expand_vjp(d_feat)
     zeros_like = jax.tree_util.tree_map(
         jnp.zeros_like, (conic, means2d, point_list, pair_valid,
-                         tile_start, tile_count, bg))
+                         tile_start, tile_count, bg, row_off))
     return (d_mb, d_rgb, d_opa, zeros_like[0], zeros_like[1], d_m2d,
             zeros_like[2], zeros_like[3], zeros_like[4], zeros_like[5],
-            zeros_like[6])
+            zeros_like[6], zeros_like[7])
 
 
 composite.defvjp(_composite_fwd, _composite_bwd)
@@ -566,7 +580,8 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
            scale_modifier: float = 1.0, pair_cap: int = 1 << 18,
            max_per_tile: int = 1024, chunk: int = 128,
            colors_precomp=None, means2d_stats=None, mask=None,
-           backend: str = "auto", interpret: bool = False):
+           backend: str = "auto", interpret: bool = False,
+           tile_rows=None):
     """Render one Gaussian set through one camera.  The TPU-native
     counterpart of the reference's rasterize_gaussians + GOF settings
     (diff_gof_rasterization/__init__.py:21-307).
@@ -574,6 +589,12 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
     backend: 'pallas' (TPU kernels, ops/pallas_raster.py), 'xla' (the
     portable scan formulation), or 'auto' (pallas on TPU, xla elsewhere).
     interpret=True runs the Pallas kernels in interpreter mode (CPU tests).
+
+    tile_rows: None for the full frame, or (row_off, n_rows) to rasterize
+    only the horizontal BAND of n_rows 16px tile rows starting at global
+    tile row row_off (n_rows static int, row_off may be traced) — the unit
+    of tile-axis sharding (parallel/sharded.py).  The output images then
+    have height n_rows*16.
 
     Returns a dict mirroring render_predicted_more_v2_gof's output contract
     (src/gaussian_renderer/__init__.py:1059-1067): keys render (3,H,W),
@@ -592,8 +613,19 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
         rgb = pre.rgb
 
     width, height = camera.width, camera.height
-    bng = B.bin_gaussians(pre.means2d, pre.radii, pre.depths, width, height,
-                          pair_cap)
+    if tile_rows is None:
+        row_off = jnp.zeros((), jnp.int32)
+        bin_m2d, bin_h = pre.means2d, height
+    else:
+        row_off, n_rows = tile_rows
+        row_off = jnp.asarray(row_off, jnp.int32)
+        # shift the gaussians into band-local pixel space for binning only;
+        # rect clamping against the band's grid then culls out-of-band rects
+        bin_m2d = pre.means2d - jnp.stack(
+            [jnp.zeros((), jnp.float32), row_off.astype(jnp.float32) * BLOCK])
+        bin_h = n_rows * BLOCK
+    bng = B.bin_gaussians(bin_m2d, pre.radii, pre.depths, width, bin_h,
+                          pair_cap, max_per_tile=max_per_tile)
     statics = RasterStatics(width=width, height=height,
                             grid_x=bng.grid[0], grid_y=bng.grid[1],
                             focal_x=float(camera.focal_x),
@@ -621,8 +653,10 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
                             bng.point_list, bng.pair_valid,
                             bng.tile_start, bng.tile_count,
                             jax.lax.stop_gradient(jnp.asarray(bg, jnp.float32)),
-                            statics)
-    img = _tiles_to_image(out, statics)
+                            row_off, statics)
+    img_statics = statics if tile_rows is None else statics._replace(
+        height=bin_h)
+    img = _tiles_to_image(out, img_statics)
     # loud truncation flag (the CUDA reference is exact at any load —
     # rasterizer_impl.cu:247-405 resizes; static caps must self-report):
     # True iff pair_cap overflowed OR any tile holds more pairs than the

@@ -95,16 +95,18 @@ def main(pair_cap_log2=18, max_per_tile=1024):
     feat, _ = timed(feat_fn, p.v2g_mb, p.rgb, opa_flat,
                     label="expand_features")
 
-    win_fn = jax.jit(lambda f, c, m2, pl_, pv, ts, tc: PR._build_windows(
-        f, c, m2, pl_, pv, ts, tc, statics))
-    (win, gids, win_valid), _ = timed(
-        win_fn, feat, p.conic, p.means2d, bng.point_list, bng.pair_valid,
-        bng.tile_start, bng.tile_count, label="build_windows")
-    print(f"    win shape {win.shape}  {win.size * 4 / 1e6:.1f} MB")
+    slab_fn = jax.jit(lambda mb, rgb, o, c, m2, g: PR._build_slab(
+        PR._all_features(mb, rgb, o, c, m2), g))
+    slab, _ = timed(slab_fn, p.v2g_mb, p.rgb, opa_flat, p.conic, p.means2d,
+                    bng.point_list, label="build_slab")
+    print(f"    slab shape {slab.shape}  {slab.size * 4 / 1e6:.1f} MB")
+    ablk = bng.tile_start // PR.C
+    roff = jnp.zeros((), jnp.int32)
 
     # --- forward kernel alone
-    fwd_fn = jax.jit(lambda w, tc: PR._run_forward(w, tc, statics))
-    (outf, outi), _ = timed(fwd_fn, win, bng.tile_count,
+    fwd_fn = jax.jit(lambda w, tc, ab: PR._run_forward(w, tc, ab, roff,
+                                                       statics))
+    (outf, outi), _ = timed(fwd_fn, slab, bng.tile_count, ablk,
                             label="fwd kernel alone")
 
     # --- backward kernel alone
@@ -117,38 +119,28 @@ def main(pair_cap_log2=18, max_per_tile=1024):
     bwi = jnp.zeros((T_tiles, PR.PIX, 8), jnp.int32)
     bwi = bwi.at[..., 0].set(outi[..., 0])
     bwi = bwi.at[..., 1].set(outi[..., 1])
-    bwd_fn = jax.jit(lambda w, tc, g, bf, bi: PR._run_backward(
-        w, tc, g, bf, bi, statics))
-    dwin, _ = timed(bwd_fn, win, bng.tile_count, gl, bwf, bwi,
+    bwd_fn = jax.jit(lambda w, tc, ab, g, bf, bi: PR._run_backward(
+        w, tc, ab, roff, g, bf, bi, statics))
+    dwin, _ = timed(bwd_fn, slab, bng.tile_count, ablk, gl, bwf, bwi,
                     label="bwd kernel alone")
     print(f"    dwin shape {dwin.shape}  {dwin.size * 4 / 1e6:.1f} MB")
 
-    # --- slab transpose + segment_sum alone
-    NCH = statics.max_per_tile // PR.C
+    # --- gradient slab reduction
     P = n
 
-    def reduce_fn(dw, gi, wv_):
-        slab = jnp.transpose(dw, (0, 1, 3, 2)).reshape(T_tiles, NCH * PR.C,
-                                                       PR.FPAD)
-        seg = jnp.where(wv_, gi, P).reshape(-1)
-        return jax.ops.segment_sum(slab.reshape(-1, PR.FPAD), seg,
-                                   num_segments=P + 1)[:P]
-    d_all, _ = timed(jax.jit(reduce_fn), dwin, gids, win_valid,
+    def reduce_fn(dw, seg):
+        rows = jnp.transpose(dw, (0, 2, 1)).reshape(-1, PR.FPAD)
+        return jax.ops.segment_sum(rows, seg, num_segments=P + 1)[:P]
+    d_all, _ = timed(jax.jit(reduce_fn), dwin, bng.point_list,
                      label="slab transpose+segment_sum")
-
-    # segment_sum only (pre-transposed)
-    slab_flat = jnp.transpose(dwin, (0, 1, 3, 2)).reshape(-1, PR.FPAD)
-    seg = jnp.where(win_valid, gids, P).reshape(-1)
-    timed(jax.jit(lambda s_, g_: jax.ops.segment_sum(
-        s_, g_, num_segments=P + 1)[:P]), slab_flat, seg,
-        label="  segment_sum only")
-    timed(jax.jit(lambda dw: jnp.transpose(dw, (0, 1, 3, 2)).reshape(
-        -1, PR.FPAD)), dwin, label="  transpose only")
 
     # --- expand vjp tail
     def tail(mb, rgb, o, d):
-        _, evjp = jax.vjp(R._expand_features, mb, rgb, o)
-        return evjp(d[:, :R.NFEAT])
+        _, evjp = jax.vjp(
+            lambda mb_, rg_, op_: PR._all_features(mb_, rg_, op_, p.conic,
+                                                   p.means2d)[:P],
+            mb, rgb, o)
+        return evjp(d)
     timed(jax.jit(tail), p.v2g_mb, p.rgb, opa_flat, d_all,
           label="expand vjp tail")
 

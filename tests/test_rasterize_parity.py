@@ -212,7 +212,8 @@ class TestBackwardParity:
                                            pre.means2d, m2d_stats,
                                            bng.point_list, bng.pair_valid,
                                            bng.tile_start, bng.tile_count,
-                                           jnp.asarray(bg), s)
+                                           jnp.asarray(bg),
+                                           jnp.zeros((), jnp.int32), s)
             img = rasterize._tiles_to_image(out, s)
             return jnp.sum(img * jnp.asarray(dL))
 
