@@ -50,17 +50,21 @@ def main():
     bg = jnp.zeros(3, jnp.float32)
     w = jnp.asarray(rng.normal(size=(9, res, res)).astype(np.float32))
 
+    # two-phase sizing (the framework's operating mode: measure once per
+    # scene shape, then render exactly under static caps)
+    caps = rasterize.plan_caps(*args[:4], cam)
+
     @jax.jit
     def fwd_bwd(means, scales, quats, opac, shs):
         def loss(*a):
-            out = rasterize.render(*a, cam, bg, pair_cap=1 << 20,
-                                   max_per_tile=1024, chunk=128)
+            out = rasterize.render(*a, cam, bg, chunk=128, **caps)
             return jnp.sum(out["out9"] * w)
         return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(means, scales, quats,
                                                        opac, shs)
 
     # compile + warmup
-    jax.block_until_ready(fwd_bwd(*args))
+    out = fwd_bwd(*args)
+    jax.block_until_ready(out)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):

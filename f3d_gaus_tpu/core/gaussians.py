@@ -184,7 +184,11 @@ def cov2d_and_coef(means: jnp.ndarray, cov3d6: jnp.ndarray,
     t = [m0 * world_view[0, j] + m1 * world_view[1, j] + m2 * world_view[2, j]
          + world_view[3, j] for j in range(3)]
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
-    tz = t[2]
+    # z floor: gaussians behind/at the camera are frustum-culled downstream
+    # (the CUDA path returns before this math, forward.cu:289); the
+    # vectorized path must still produce finite values AND finite vjps for
+    # them, so divide by a floored z instead of 0.
+    tz = jnp.maximum(t[2], 1e-4)
     tx = jnp.clip(t[0] / tz, -limx, limx) * tz
     ty = jnp.clip(t[1] / tz, -limy, limy) * tz
 

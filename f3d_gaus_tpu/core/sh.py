@@ -61,7 +61,15 @@ def sh_color_from_gaussians(deg: int, shs: jnp.ndarray, means: jnp.ndarray,
     (forward.cu:20-71); rgb is clamped at 0.
     """
     dirs = means - campos
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # smoothed norm: a gaussian AT the camera (unet_depth 0 in the cycle
+    # feed) has |dirs| = 0; the CUDA path never evaluates SH for it (culled
+    # before computeColorFromSH, forward.cu:300), but this vectorized path
+    # does — and both 0/0 and sqrt'(0) = inf would NaN the vjp even under a
+    # zero cotangent.  sqrt(|d|^2 + eps) has finite value AND finite
+    # partials everywhere; the direction is arbitrary for such points (they
+    # are frustum-culled downstream).
+    norm = jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-16)
+    dirs = dirs / norm
     raw = eval_sh(deg, shs, dirs)
     return jnp.maximum(raw, 0.0), raw < 0
 

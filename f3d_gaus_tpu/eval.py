@@ -1,10 +1,13 @@
-"""Image-quality evaluation: PSNR / SSIM (+ gated LPIPS) over render dirs.
+"""Image-quality evaluation: PSNR / SSIM (+ weight-gated LPIPS) over
+render dirs.
 
 Counterpart of the vendored metrics runner
 (reference src/gaussian-splatting/metrics.py:36-97): walks paired
 renders/gt directories, reports per-image and mean metrics, dumps JSON.
-LPIPS needs pretrained VGG/Alex weights that are not available in this
-zero-egress image — `lpips=True` raises with that explanation.
+LPIPS runs through the JAX VGG16 tower (models/vgg.py) when a converted
+torchvision vgg16 state_dict path is supplied; the pretrained file itself
+is not bundled (zero-egress image), so `lpips=True` without
+`lpips_weights` raises with that explanation.
 """
 from __future__ import annotations
 
@@ -24,22 +27,44 @@ def _load_image(path: str) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
-def evaluate_pair(render: np.ndarray, gt: np.ndarray) -> dict:
-    """render/gt: (H, W, 3) float in [0, 1]."""
+def evaluate_pair(render: np.ndarray, gt: np.ndarray, towers=None) -> dict:
+    """render/gt: (H, W, 3) float in [0, 1].  towers: optional
+    (vgg_params, lin_params) activating LPIPS."""
     r = jnp.asarray(render.transpose(2, 0, 1))[None]
     g = jnp.asarray(gt.transpose(2, 0, 1))[None]
-    return {"psnr": float(losses.psnr(r, g)[0]),
-            "ssim": float(losses.ssim(r, g))}
+    out = {"psnr": float(losses.psnr(r, g)[0]),
+           "ssim": float(losses.ssim(r, g))}
+    if towers is not None:
+        from .models import vgg
+        vgg_params, lin = towers
+        if lin is None:
+            # without the LPIPS linear heads, fall back to uniform heads
+            # (the standard "LPIPS-vgg (unweighted)" variant)
+            lin = [jnp.full((c,), 1.0 / c) for c in vgg.N_CHANNELS]
+        out["lpips"] = float(vgg.lpips(vgg_params, lin,
+                                       2.0 * r - 1.0, 2.0 * g - 1.0)[0])
+    return out
 
 
 def evaluate_dirs(renders_dir: str, gt_dir: str,
-                  out_json: Optional[str] = None, lpips: bool = False) -> dict:
+                  out_json: Optional[str] = None, lpips: bool = False,
+                  lpips_weights: Optional[str] = None,
+                  lpips_lin_weights: Optional[str] = None) -> dict:
     """Per-image + mean PSNR/SSIM over two directories matched by filename
-    (the metrics.py contract).  Returns the result dict."""
+    (the metrics.py contract).  Returns the result dict.
+
+    lpips=True additionally reports LPIPS and requires `lpips_weights` (a
+    torchvision vgg16 state_dict .pt; optionally `lpips_lin_weights` for
+    the learned linear heads)."""
+    towers = None
     if lpips:
-        raise NotImplementedError(
-            "LPIPS requires pretrained VGG/Alex weights not present in this "
-            "image; rerun with lpips=False")
+        if not lpips_weights:
+            raise NotImplementedError(
+                "LPIPS requires pretrained VGG weights, not present in this "
+                "image; pass lpips_weights=<torchvision vgg16 .pt> (and "
+                "optionally lpips_lin_weights) or rerun with lpips=False")
+        from .models import vgg
+        towers = vgg.load_towers(lpips_weights, lpips_lin_weights)
     names = sorted(n for n in os.listdir(renders_dir)
                    if n.lower().endswith((".png", ".jpg", ".jpeg")))
     per_image = {}
@@ -48,12 +73,13 @@ def evaluate_dirs(renders_dir: str, gt_dir: str,
         if not os.path.exists(gt_path):
             continue
         per_image[n] = evaluate_pair(_load_image(os.path.join(renders_dir, n)),
-                                     _load_image(gt_path))
+                                     _load_image(gt_path), towers)
     if not per_image:
         raise FileNotFoundError(f"no matched images in {renders_dir} / {gt_dir}")
+    keys = ("psnr", "ssim", "lpips") if towers is not None else ("psnr", "ssim")
     result = {
         "mean": {k: float(np.mean([v[k] for v in per_image.values()]))
-                 for k in ("psnr", "ssim")},
+                 for k in keys},
         "per_image": per_image,
     }
     if out_json:

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 BLOCK = 16
-ALIGN = 128           # slab segment alignment == compositing chunk width
+ALIGN = 128           # default slab alignment == pallas chunk width
 INT32_MAX = jnp.int32(2147483647)
 
 
@@ -56,11 +56,12 @@ class Binning(NamedTuple):
     grid: tuple                # (grid_x, grid_y) static
 
 
-def slab_cap(pair_cap: int, width: int, height: int) -> int:
+def slab_cap(pair_cap: int, width: int, height: int,
+             align: int = ALIGN) -> int:
     """Static size of the aligned slab for a given pair capacity + image."""
     grid_x = (width + BLOCK - 1) // BLOCK
     grid_y = (height + BLOCK - 1) // BLOCK
-    return pair_cap + grid_x * grid_y * ALIGN
+    return pair_cap + grid_x * grid_y * align
 
 
 def tile_rects(means2d: jnp.ndarray, radii: jnp.ndarray, width: int, height: int):
@@ -102,7 +103,8 @@ def _fill_forward(values, starts, n):
 
 def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
                   width: int, height: int, pair_cap: int,
-                  max_per_tile: int | None = None) -> Binning:
+                  max_per_tile: int | None = None,
+                  align: int = ALIGN) -> Binning:
     """Build the aligned per-tile depth-sorted gaussian slab.
 
     means2d: (P, 2) pixel coords; radii: (P,) int32 (0 = culled);
@@ -125,7 +127,7 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     grid_y = (height + BLOCK - 1) // BLOCK
     num_tiles = grid_x * grid_y
     P = means2d.shape[0]
-    NPAD = pair_cap + num_tiles * ALIGN
+    NPAD = pair_cap + num_tiles * align
 
     # --- depth-rank relabeling (sortable-int keys)
     ids = jnp.arange(P, dtype=jnp.int32)
@@ -195,7 +197,7 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     # ALIGN; downstream kernels block-index it without gathers.
     keep = jnp.minimum(tile_count, pair_cap if max_per_tile is None
                        else max_per_tile)
-    csz = ((keep + ALIGN - 1) // ALIGN) * ALIGN
+    csz = ((keep + align - 1) // align) * align
     aligned_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(csz)[:-1]])
     shift_f = _fill_forward(aligned_start - tile_start_c, tile_start_c,

@@ -51,7 +51,7 @@ from . import rasterize as R
 
 BLOCK = R.BLOCK
 PIX = R.PIX               # 256 pixels per tile
-C = 128                   # gaussians per chunk == lane width
+C = 128                   # default gaussians/chunk; statics.lanes overrides
 FPAD = 24                 # feature rows: 19 used + conic(3) + means2d(2)
 NEAR_PLANE = R.NEAR_PLANE
 FAR_PLANE = R.FAR_PLANE
@@ -218,7 +218,7 @@ def _tile_uv(t, s: "R.RasterStatics"):
     return u, v, px, py
 
 
-def _n_chunks(max_per_tile):
+def _n_chunks(max_per_tile, C):
     if max_per_tile % C != 0:
         raise ValueError(
             f"pallas backend needs max_per_tile % {C} == 0, got {max_per_tile}")
@@ -237,6 +237,7 @@ def _fwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, outf_ref,
                 outi_ref, accf, acci, stop_s):
     t = pl.program_id(0)
     k = pl.program_id(1)
+    C = s.lanes
     K = NCH * C
 
     @pl.when(k == 0)
@@ -319,7 +320,7 @@ def _fwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, outf_ref,
         outi_ref[0] = acci[:]
 
 
-def _slab_index(NCH):
+def _slab_index(NCH, C):
     """Block index of chunk k of tile t inside the aligned slab: tile t's
     segment starts at block ablk[t]; k is clamped to the tile's last real
     chunk so saturated/overrun steps re-use the already-fetched block."""
@@ -333,12 +334,13 @@ def _slab_index(NCH):
 def _run_forward(slab, tile_count, ablk, row_off, s: "R.RasterStatics",
                  interpret=False):
     T_tiles = s.grid_x * s.grid_y
-    NCH = _n_chunks(s.max_per_tile)
+    C = s.lanes
+    NCH = _n_chunks(s.max_per_tile, C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T_tiles, NCH),
-        in_specs=[pl.BlockSpec((1, FPAD, C), _slab_index(NCH),
+        in_specs=[pl.BlockSpec((1, FPAD, C), _slab_index(NCH, C),
                                memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec((1, PIX, 16), lambda t, k, *_: (t, 0, 0),
@@ -372,6 +374,7 @@ def _bwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, gl_ref,
     t = pl.program_id(0)
     kr = pl.program_id(1)
     kk = NCH - 1 - kr
+    C = s.lanes
     K = NCH * C
     cnt = _cap_count(cnt_ref[t], K)
 
@@ -497,7 +500,8 @@ def _run_backward(slab, tile_count, ablk, row_off, gl, bwf, bwi,
     writes are overwritten by the real gradients — slab padding blocks keep
     whatever lands there and are dropped by the sentinel segment ids."""
     T_tiles = s.grid_x * s.grid_y
-    NCH = _n_chunks(s.max_per_tile)
+    C = s.lanes
+    NCH = _n_chunks(s.max_per_tile, C)
     NB = slab.shape[0]
 
     def win_index(t, kr, cnt, ablk, roff):
@@ -553,7 +557,7 @@ def _all_features(v2g_mb, rgb, opa, conic, means2d):
     return jnp.concatenate([allf, jnp.zeros((1, FPAD), allf.dtype)], axis=0)
 
 
-def _build_slab(allf, slab_gid):
+def _build_slab(allf, slab_gid, C=C):
     """(NB, FPAD, C) feature slab: row blocks of the per-gaussian feature
     table in the aligned pair order of ops/binning.py.  Padding slots
     (sentinel id P) hit the all-zero row, which self-masks in _forms:
@@ -583,8 +587,8 @@ def _assemble_out(outf, outi, bg):
 def _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
                      tile_start, tile_count, bg, row_off, s):
     allf = _all_features(v2g_mb, rgb, opa, conic, means2d)
-    slab = _build_slab(allf, point_list)
-    ablk = tile_start // jnp.int32(C)        # binning aligns starts to C
+    slab = _build_slab(allf, point_list, s.lanes)
+    ablk = tile_start // jnp.int32(s.lanes)  # binning aligns starts to lanes
     outf, outi = _run_forward(slab, tile_count, ablk, row_off, s,
                               interpret=s.interpret)
     out, aux = _assemble_out(outf, outi, bg)

@@ -87,8 +87,9 @@ class RasterStatics(NamedTuple):
     focal_x: float
     focal_y: float
     max_per_tile: int    # per-tile gather window K
-    chunk: int           # gaussians per scan step
+    chunk: int           # gaussians per scan step (XLA backend)
     interpret: bool = False   # Pallas interpret mode (CPU testing only)
+    lanes: int = 128     # pallas chunk width == binning slab alignment
 
 
 class RenderAux(NamedTuple):
@@ -227,7 +228,13 @@ def _exclusive_cumsum(x, axis):
 
 def _gather_windows(point_list, pair_valid, tile_start, tile_count,
                     s: RasterStatics, feat, extra=None):
-    """Dense per-tile windows: (T, K) ids/valid + (T, K, F) features."""
+    """Dense per-tile windows: (T, K) ids/valid + (T, K, F) features.
+
+    Gathers ride a zero-padded table so the slab's sentinel id P lands on
+    an all-zero row (which self-masks in _chunk_eval) — clamping to row
+    P-1 instead would pull a REAL gaussian's features, whose values can be
+    non-finite for z~0 culled gaussians and then NaN-poison the masked
+    accumulators (NaN * 0 = NaN)."""
     K = s.max_per_tile
     offs = jnp.arange(K, dtype=jnp.int32)[None, :]
     idx = tile_start[:, None] + offs
@@ -235,8 +242,15 @@ def _gather_windows(point_list, pair_valid, tile_start, tile_count,
     idx_c = jnp.clip(idx, 0, point_list.shape[0] - 1)
     gids = point_list[idx_c]
     win_valid = win_valid & pair_valid[idx_c]
-    wfeat = feat[gids]
-    wextra = extra[gids] if extra is not None else None
+    featz = jnp.concatenate([feat, jnp.zeros((1,) + feat.shape[1:],
+                                             feat.dtype)], axis=0)
+    wfeat = featz[gids]
+    if extra is not None:
+        extraz = jnp.concatenate([extra, jnp.zeros((1,) + extra.shape[1:],
+                                                   extra.dtype)], axis=0)
+        wextra = extraz[gids]
+    else:
+        wextra = None
     return gids, win_valid, wfeat, wextra
 
 
@@ -624,14 +638,17 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
         bin_m2d = pre.means2d - jnp.stack(
             [jnp.zeros((), jnp.float32), row_off.astype(jnp.float32) * BLOCK])
         bin_h = n_rows * BLOCK
+    # 256-wide pallas chunks halve the kernel grid-step count (and its
+    # fixed per-step cost) whenever the compositing window allows it
+    lanes = 256 if max_per_tile % 256 == 0 else 128
     bng = B.bin_gaussians(bin_m2d, pre.radii, pre.depths, width, bin_h,
-                          pair_cap, max_per_tile=max_per_tile)
+                          pair_cap, max_per_tile=max_per_tile, align=lanes)
     statics = RasterStatics(width=width, height=height,
                             grid_x=bng.grid[0], grid_y=bng.grid[1],
                             focal_x=float(camera.focal_x),
                             focal_y=float(camera.focal_y),
                             max_per_tile=max_per_tile, chunk=chunk,
-                            interpret=interpret)
+                            interpret=interpret, lanes=lanes)
     if bg is None:
         bg = jnp.zeros(3, jnp.float32)
     if means2d_stats is None:

@@ -21,9 +21,21 @@ describe, with every loss the config names:
                          (detach + clip of the cycle input per
                          yaml:79-81 detach_cycle_input/clip_cycle_input)
 
-w_perceptual / w_clip require pretrained VGG/CLIP towers that are not in
-this image (zero-egress) — they are accepted in LossWeights but must stay
-0; setting them raises.
+w_perceptual / w_clip activate the JAX VGG16 / CLIP ViT-B/32 towers
+(models/vgg.py, models/clip.py) when their converted weights are passed
+via `towers=`; without weights they raise (the pretrained files are not
+in this zero-egress image).
+
+The novel-view DIFFICULTY CURRICULUM (yaml:66-71: start_diff 24 ->
+final_diff 6, denominator2 18 over [start_iter, end_iter]) anneals how
+far the per-step novel camera swings from the canonical pose: yaw range
+pi/diff widens as diff decreases, pitch range is the fixed
+pi/denominator2.  The yaml is the only spec (the reference training
+script is not public); cameras are precomputed host-side into difficulty
+BANKS and indexed by the training step inside jit.  The cycle feed runs
+the predictor with N=2 views in ONE call — canonical input + rendered
+novel view — exercising the cross-view attention in training
+(gaussian_predictor.py:333-350).
 
 It is the step that `__graft_entry__.dryrun_multichip` shards over a
 device mesh.
@@ -59,10 +71,50 @@ class LossWeights(NamedTuple):
     warp_alpha_threshold: float = 0.9   # yaml model.threshold
 
 
+class Curriculum(NamedTuple):
+    """Novel-view difficulty schedule (yaml:66-71)."""
+    start_diff: float = 24.0
+    final_diff: float = 6.0
+    denominator2: float = 18.0
+    start_iter: int = 0
+    end_iter: int = 100000
+
+
+class CamerasPack(NamedTuple):
+    """Host-precomputed camera constants: the canonical camera plus
+    (n_banks, views_per_bank) novel cameras ordered easy -> hard."""
+    cano_v2w: jnp.ndarray
+    cano_quat: jnp.ndarray
+    cano_wv: jnp.ndarray
+    cano_fp: jnp.ndarray
+    cano_cc: jnp.ndarray
+    nb_v2w: jnp.ndarray      # (D, V, 4, 4)
+    nb_quat: jnp.ndarray     # (D, V, 4)
+    nb_wv: jnp.ndarray
+    nb_fp: jnp.ndarray
+    nb_cc: jnp.ndarray       # (D, V, 3)
+
+
 class TrainState(NamedTuple):
     params: dict
     opt_state: tuple
     step: jnp.ndarray
+
+
+def select_novel_camera(pack: CamerasPack, step, cur: Curriculum):
+    """Difficulty-scheduled camera pick, jit-safe: progress through
+    [start_iter, end_iter] maps to the bank axis (easy -> hard); the step
+    rotates through the bank's views."""
+    D, V = pack.nb_wv.shape[:2]
+    span = max(cur.end_iter - cur.start_iter, 1)
+    prog = jnp.clip((step - cur.start_iter) / span, 0.0, 1.0)
+    bank = jnp.round(prog * (D - 1)).astype(jnp.int32)
+    view = jnp.mod(step, V).astype(jnp.int32)
+    pick = lambda a: jax.lax.dynamic_index_in_dim(
+        jax.lax.dynamic_index_in_dim(a, bank, 0, keepdims=False),
+        view, 0, keepdims=False)
+    return (pick(pack.nb_v2w), pick(pack.nb_quat), pick(pack.nb_wv),
+            pick(pack.nb_fp), pick(pack.nb_cc))
 
 
 def make_optimizer(lr: float = 6e-7):
@@ -87,15 +139,26 @@ def _predict(params, cfg, pcfg, images_nchw, alpha, depth, v2w, quat):
 
 
 def loss_fn(params, cfg: PipelineConfig, pcfg, batch, cameras_pack,
-            w: LossWeights = LossWeights()):
+            w: LossWeights = LossWeights(), step=0,
+            cur: Curriculum = Curriculum(), towers=None):
     """Full multi-term objective.  batch: images (B, H, W, 3) in [0, 1],
-    depth (B, H, W).  cameras_pack from make_cameras_pack."""
-    if w.w_perceptual or w.w_clip:
+    depth (B, H, W).  cameras_pack from make_cameras_pack; step drives the
+    novel-view difficulty curriculum; towers = optional dict with
+    'vgg' (models/vgg.py params) and/or 'clip' (models/clip.py params)
+    activating w_perceptual / w_clip."""
+    towers = towers or {}
+    if w.w_perceptual and "vgg" not in towers:
         raise NotImplementedError(
-            "perceptual/clip towers are not available in this environment")
+            "w_perceptual needs a converted VGG16 tower: pass "
+            "towers={'vgg': models.vgg.load_towers(path)[0]}")
+    if w.w_clip and "clip" not in towers:
+        raise NotImplementedError(
+            "w_clip needs a converted CLIP tower: pass "
+            "towers={'clip': models.clip.load_tower(path)}")
     images, depth = batch["images"], batch["depth"]
-    (cano_v2w, cano_quat, cano_wv, cano_fp, cano_cc,
-     orbit_v2w, orbit_quat, orbit_wv, orbit_fp, orbit_cc) = cameras_pack
+    (cano_v2w, cano_quat, cano_wv, cano_fp, cano_cc) = cameras_pack[:5]
+    (orbit_v2w, orbit_quat, orbit_wv, orbit_fp,
+     orbit_cc) = select_novel_camera(cameras_pack, step, cur)
     B = images.shape[0]
     target = jnp.transpose(images, (0, 3, 1, 2))            # NCHW
 
@@ -126,6 +189,14 @@ def loss_fn(params, cfg: PipelineConfig, pcfg, batch, cameras_pack,
         r_normal, d_normal, cover[:, 0])
     terms["alpha"] = w.w_alpha * jnp.abs(r_alpha - 1.0).mean()
     terms["tv"] = w.w_tv * losses.tv(r_depth)
+    if w.w_perceptual:
+        from ..models import vgg as vgg_mod
+        terms["perceptual"] = w.w_perceptual * vgg_mod.perceptual_loss(
+            towers["vgg"], recon, target)
+    if w.w_clip:
+        from ..models import clip as clip_mod
+        terms["clip"] = w.w_clip * clip_mod.clip_loss(
+            towers["clip"], jnp.clip(recon, 0.0, 1.0), target)
     if w.w_distortion:
         terms["distortion"] = w.w_distortion * jnp.abs(
             views["distortion_map"][:, 0]).mean()
@@ -148,14 +219,25 @@ def loss_fn(params, cfg: PipelineConfig, pcfg, batch, cameras_pack,
             warped, o_render, mask)
 
     # --- cycle: re-predict from the (detached, clipped) orbit render and
-    # reconstruct the canonical view from the cycled gaussians -------------
+    # reconstruct the canonical view from the cycled gaussians.  The
+    # predictor sees BOTH views in one N=2 call (canonical input + novel
+    # render), exercising the cross-view attention and multi_view_union
+    # in training; the merged 2P set renders the canonical view -----------
     if w.w_cycle:
         o_render = jnp.clip(jax.lax.stop_gradient(views["render"][:, 1]),
                             0.0, 1.0)
         o_alpha = jax.lax.stop_gradient(views["rendered_alpha"][:, 1])
         o_depth = jax.lax.stop_gradient(views["rendered_depth"][:, 1, 0])
-        g2 = _predict(params, cfg, pcfg, o_render, o_alpha, o_depth,
-                      orbit_v2w, orbit_quat)
+        feat2 = jnp.stack([
+            jnp.concatenate([target, jnp.ones_like(target[:, :1])], 1),
+            jnp.concatenate([o_render, o_alpha], 1)], axis=1)
+        feat2 = jnp.transpose(feat2, (0, 1, 3, 4, 2))     # (B, 2, H, W, 4)
+        v2w2 = jnp.stack([jnp.broadcast_to(cano_v2w, (B, 4, 4)),
+                          jnp.broadcast_to(orbit_v2w, (B, 4, 4))], 1)
+        quat2 = jnp.stack([jnp.broadcast_to(cano_quat, (B, 4)),
+                           jnp.broadcast_to(orbit_quat, (B, 4))], 1)
+        d2 = jnp.stack([depth, o_depth], axis=1)          # (B, 2, H, W)
+        g2 = P.apply(params, pcfg, feat2, v2w2, quat2, d2)
         cyc = renderer.render_views_batched(
             g2, cano_wv[None], cano_fp[None], cano_cc[None], bg, cfg)
         terms["cycle"] = w.w_cycle * losses.l1(cyc["render"][:, 0], target)
@@ -167,26 +249,53 @@ def loss_fn(params, cfg: PipelineConfig, pcfg, batch, cameras_pack,
     return loss, aux
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "pcfg", "lr", "weights"))
+@functools.partial(jax.jit, static_argnames=("cfg", "pcfg", "lr", "weights",
+                                              "cur"))
 def train_step(state: TrainState, cfg: PipelineConfig, pcfg, batch,
                cameras_pack, lr: float = 6e-7,
-               weights: LossWeights = LossWeights()):
+               weights: LossWeights = LossWeights(),
+               cur: Curriculum = Curriculum(), towers=None):
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, cfg, pcfg, batch, cameras_pack, weights)
+        state.params, cfg, pcfg, batch, cameras_pack, weights, state.step,
+        cur, towers)
     updates, opt_state = make_optimizer(lr).update(grads, state.opt_state,
                                                    state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss, aux
 
 
-def make_cameras_pack(cfg: PipelineConfig, dataset):
-    """Host-side camera constants for the training step: the canonical
-    camera plus one orbit (cycle) camera."""
-    from ..pipeline import cycle
+def make_cameras_pack(cfg: PipelineConfig, dataset,
+                      cur: Curriculum = Curriculum(), n_banks: int = 6,
+                      views_per_bank: int = 4) -> CamerasPack:
+    """Host-side camera constants: the canonical camera plus an
+    (n_banks, views_per_bank) grid of novel cameras ordered easy -> hard.
+
+    Bank i has difficulty diff_i interpolating start_diff -> final_diff;
+    its views spread an orbit of yaw range pi/diff_i and pitch range
+    pi/denominator2 (the yaml:66-71 reading — larger `diff` denominators
+    mean smaller, easier pose offsets)."""
+    import numpy as _np
+    from ..core import cameras as C
     cano = dataset.camera_set
-    agg = cycle.aggregation_cameras(cfg, dataset.inverse_first_camera)
-    return tuple(jnp.asarray(x) for x in (
-        cano.view_to_world[0], cano.cv2wT_quat[0], cano.world_view[0],
-        cano.full_proj[0], cano.cam_centers[0],
-        agg.view_to_world[1], agg.cv2wT_quat[1], agg.world_view[1],
-        agg.full_proj[1], agg.cam_centers[1]))
+    rebase = dataset.inverse_first_camera if cfg.update_pose else None
+
+    banks = []
+    for i in range(n_banks):
+        f = i / max(n_banks - 1, 1)
+        diff = cur.start_diff + (cur.final_diff - cur.start_diff) * f
+        yaw_r = _np.pi / diff
+        pitch_r = _np.pi / cur.denominator2
+        ang = 2 * _np.pi * _np.arange(views_per_bank) / views_per_bank
+        yaws = (yaw_r * -_np.sin(ang)).astype(_np.float32)
+        pitches = (pitch_r * _np.cos(ang) * f).astype(_np.float32)
+        banks.append(C.build_camera_set(
+            yaws, pitches, cfg.radius, cfg.look_at_z, cfg.fov_deg,
+            cfg.z_near, cfg.z_far, rebase=rebase))
+    stack = lambda sel: jnp.asarray(_np.stack([sel(b) for b in banks]))
+    return CamerasPack(
+        jnp.asarray(cano.view_to_world[0]), jnp.asarray(cano.cv2wT_quat[0]),
+        jnp.asarray(cano.world_view[0]), jnp.asarray(cano.full_proj[0]),
+        jnp.asarray(cano.cam_centers[0]),
+        stack(lambda b: b.view_to_world), stack(lambda b: b.cv2wT_quat),
+        stack(lambda b: b.world_view), stack(lambda b: b.full_proj),
+        stack(lambda b: b.cam_centers))

@@ -66,7 +66,10 @@ class TestTrainStep:
         cfg = tiny_cfg()
         pcfg = cfg.predictor_config()
         ds = _DS(cfg)
-        pack = F.make_cameras_pack(cfg, ds)
+        # single fixed novel camera: the loss-decrease assertion needs the
+        # objective to be stationary across steps (the curriculum otherwise
+        # rotates the novel view per step)
+        pack = F.make_cameras_pack(cfg, ds, n_banks=1, views_per_bank=1)
         state = F.init_state(jax.random.PRNGKey(0), cfg, lr=1e-4)
         batch = make_batch(rng, 2, cfg.resolution)
 
@@ -100,6 +103,58 @@ class TestTrainStep:
             F.loss_fn(state.params, cfg, pcfg,
                       make_batch(rng, 1, cfg.resolution), pack,
                       F.LossWeights(w_perceptual=1.0))
+
+
+class TestCurriculum:
+    def test_schedule_picks_banks_easy_to_hard(self, rng):
+        cfg = tiny_cfg()
+        ds = _DS(cfg)
+        cur = F.Curriculum(start_diff=24, final_diff=6, start_iter=0,
+                           end_iter=100)
+        pack = F.make_cameras_pack(cfg, ds, cur, n_banks=4, views_per_bank=2)
+        assert pack.nb_wv.shape[:2] == (4, 2)
+        # step 0 -> easiest bank (0); step >= end_iter -> hardest (D-1)
+        c0 = F.select_novel_camera(pack, jnp.asarray(0), cur)
+        cend = F.select_novel_camera(pack, jnp.asarray(500), cur)
+        np.testing.assert_allclose(np.asarray(c0[2]),
+                                   np.asarray(pack.nb_wv[0, 0]))
+        np.testing.assert_allclose(np.asarray(cend[2]),
+                                   np.asarray(pack.nb_wv[3, 0]))
+        # harder banks swing the camera farther from the canonical pose
+        cano = np.asarray(pack.cano_cc)
+        d_easy = np.linalg.norm(np.asarray(pack.nb_cc[0, 0]) - cano)
+        d_hard = np.linalg.norm(np.asarray(pack.nb_cc[3, 0]) - cano)
+        assert d_hard > d_easy
+
+    def test_views_rotate_within_bank(self, rng):
+        cfg = tiny_cfg()
+        ds = _DS(cfg)
+        cur = F.Curriculum(end_iter=10**9)   # stay in bank 0
+        pack = F.make_cameras_pack(cfg, ds, cur, n_banks=2, views_per_bank=3)
+        picks = [np.asarray(F.select_novel_camera(
+            pack, jnp.asarray(s_), cur)[2]) for s_ in range(3)]
+        assert not np.allclose(picks[0], picks[1])
+        assert not np.allclose(picks[1], picks[2])
+
+
+class TestTowers:
+    def test_perceptual_and_clip_activate_with_towers(self, rng):
+        from f3d_gaus_tpu.models import vgg as vggm, clip as clipm
+        cfg = tiny_cfg()
+        pcfg = cfg.predictor_config()
+        ds = _DS(cfg)
+        pack = F.make_cameras_pack(cfg, ds)
+        state = F.init_state(jax.random.PRNGKey(0), cfg)
+        towers = {"vgg": vggm.init_params(jax.random.PRNGKey(1)),
+                  "clip": clipm.init_params(jax.random.PRNGKey(2), grid=7)}
+        w = F.LossWeights(w_perceptual=2.0, w_clip=0.35, w_warping=0.0,
+                          w_cycle=0.0)
+        loss, aux = F.loss_fn(state.params, cfg, pcfg,
+                              make_batch(rng, 1, cfg.resolution), pack, w,
+                              towers=towers)
+        assert np.isfinite(float(loss))
+        assert float(aux["loss_perceptual"]) > 0
+        assert float(aux["loss_clip"]) >= 0
 
 
 class TestShardedStep:
