@@ -153,18 +153,34 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
 
     # Per-slot step functions via fill-forward (scatter diffs + integrate).
     # Scalar TPU gathers run ~9 ns/element (serial emitter) so table[rank]
-    # lookups are 3-4x SLOWER than one more scatter+cumsum; (base_tile,
-    # rect_w) share one packed word to keep it at three passes.
+    # lookups are 3-4x SLOWER than one more scatter+cumsum; values are
+    # bit-packed so the common shapes need only TWO passes:
+    #   word A = start * 128 + rect_w          (start < pair_cap, rect_w <= 127)
+    #   word B = base_tile * 2^ceil_log2(P) + gaussian_id
     # rect_w <= grid_x <= 127 for any width <= 2032.
     if grid_x > 127:
         raise ValueError("grid_x > 127 unsupported by the packed rect word")
-    packed = ((ymin * grid_x + xmin) * jnp.int32(128)
-              + jnp.maximum(xmax - xmin, 1))
-    start_f = _fill_forward(starts, starts, pair_cap)
-    packed_f = _fill_forward(packed, starts, pair_cap)
-    gid_f = _fill_forward(perm, starts, pair_cap)
-    base_f = packed_f // jnp.int32(128)
-    rectw_f = jnp.maximum(packed_f % jnp.int32(128), 1)
+    base_tile = ymin * grid_x + xmin
+    rect_w = jnp.maximum(xmax - xmin, 1)
+    gid_bits = max(int(P).bit_length(), 1)
+    packA = pair_cap <= (1 << 24)                 # start*128 fits int32
+    packB = gid_bits + int(num_tiles).bit_length() <= 31
+    if packA:
+        a_f = _fill_forward(starts * jnp.int32(128) + rect_w, starts,
+                            pair_cap)
+        start_f = a_f // jnp.int32(128)
+        rectw_f = jnp.maximum(a_f % jnp.int32(128), 1)
+    else:
+        start_f = _fill_forward(starts, starts, pair_cap)
+        rectw_f = jnp.maximum(_fill_forward(rect_w, starts, pair_cap), 1)
+    if packB:
+        gmod = jnp.int32(1 << gid_bits)
+        b_f = _fill_forward(base_tile * gmod + perm, starts, pair_cap)
+        base_f = b_f // gmod
+        gid_f = b_f % gmod
+    else:
+        base_f = _fill_forward(base_tile, starts, pair_cap)
+        gid_f = _fill_forward(perm, starts, pair_cap)
 
     delta = slots - start_f
     tile = base_f + delta % rectw_f + (delta // rectw_f) * grid_x

@@ -584,9 +584,8 @@ def _assemble_out(outf, outi, bg):
     return out, aux
 
 
-def _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
-                     tile_start, tile_count, bg, row_off, s):
-    allf = _all_features(v2g_mb, rgb, opa, conic, means2d)
+def _pallas_fwd_impl(allf, point_list, tile_start, tile_count, bg, row_off,
+                     s):
     slab = _build_slab(allf, point_list, s.lanes)
     ablk = tile_start // jnp.int32(s.lanes)  # binning aligns starts to lanes
     outf, outi = _run_forward(slab, tile_count, ablk, row_off, s,
@@ -595,37 +594,48 @@ def _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
     return out, aux, (slab, ablk)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
-def composite_pallas(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
-                     point_list, pair_valid, tile_start, tile_count, bg,
-                     row_off, statics: "R.RasterStatics"):
-    """Drop-in kernel-backed replacement for rasterize.composite."""
-    out, aux, _ = _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d,
-                                   point_list, pair_valid, tile_start,
-                                   tile_count, bg, row_off, statics)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def composite_from_features(allf, stats_dummy, point_list, tile_start,
+                            tile_count, bg, row_off,
+                            statics: "R.RasterStatics"):
+    """Kernel compositing differentiable in the (P+1, FPAD) feature table
+    (the NFEAT monomial columns + conic + means2d + an all-zero sentinel
+    row, as built by _all_features).
+
+    This is the custom_vjp boundary: everything upstream of the feature
+    table ((M, b) packing, SH color, opacity coef) differentiates through
+    ordinary JAX autodiff, so a gaussian-SHARDED caller (parallel/
+    sharded.py) can expand features on its shard, all_gather only the
+    compact 24-column table, and receive its gradient shard back through
+    the gather's transpose (reduce_scatter) — per-gaussian work then
+    scales with the mesh instead of replicating per device.
+
+    stats_dummy: (P, 3) zeros whose cotangent receives the densification
+    statistics (the screenspace_points analog); those rows are ZEROED in
+    d_allf (they are stats, not true conic/means2d gradients)."""
+    out, aux, _ = _pallas_fwd_impl(allf, point_list, tile_start, tile_count,
+                                   bg, row_off, statics)
     return out, aux
 
 
-def _composite_fwd(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
-                   point_list, pair_valid, tile_start, tile_count, bg,
-                   row_off, statics):
-    out, aux, slab_res = _pallas_fwd_impl(v2g_mb, rgb, opa, conic, means2d,
-                                          point_list, pair_valid, tile_start,
+def _cff_fwd(allf, stats_dummy, point_list, tile_start, tile_count, bg,
+             row_off, statics):
+    out, aux, slab_res = _pallas_fwd_impl(allf, point_list, tile_start,
                                           tile_count, bg, row_off, statics)
     # the feature slab rides the residuals (~28 MB at the flagship shape)
     # so the backward re-uses it instead of re-gathering — the exact
     # buffer-reuse design of the CUDA ctx save (rasterizer_impl.cu:444-446)
-    res = (v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
-           tile_start, tile_count, bg, row_off, aux, slab_res)
+    res = (point_list, tile_start, tile_count, bg, row_off, aux, slab_res,
+           allf.shape[0])
     return (out, aux), res
 
 
-def _composite_bwd(statics, res, cts):
-    (v2g_mb, rgb, opa, conic, means2d, point_list, pair_valid,
-     tile_start, tile_count, bg, row_off, aux, (slab, ablk)) = res
+def _cff_bwd(statics, res, cts):
+    (point_list, tile_start, tile_count, bg, row_off, aux, (slab, ablk),
+     nP1) = res
     g_out, _ = cts
     s = statics
-    P = v2g_mb.shape[0]
+    P = nP1 - 1
 
     T_tiles = s.grid_x * s.grid_y
     # concatenates, not .at[].set on zeros — the scatter form costs two
@@ -647,19 +657,29 @@ def _composite_bwd(statics, res, cts):
                          interpret=s.interpret)
     rows = jnp.transpose(dwin, (0, 2, 1)).reshape(-1, FPAD)
     # point_list IS the segment map: aligned-slab padding carries the
-    # sentinel id P, whose row lands in the dropped segment
-    d_all = jax.ops.segment_sum(rows, point_list, num_segments=P + 1)[:P]
-    d_m2d = d_all[:, ROW_CONIC:ROW_CONIC + 3]
-
-    _, expand_vjp = jax.vjp(
-        lambda mb, rg, op: _all_features(mb, rg, op, conic, means2d)[:P],
-        v2g_mb, rgb, opa)
-    d_mb, d_rgb, d_opa = expand_vjp(d_all)
+    # sentinel id P, whose row lands in the (kept) sentinel segment — the
+    # (P+1)-row cotangent matches allf's appended zero row
+    d_all = jax.ops.segment_sum(rows, point_list, num_segments=nP1)
+    d_stats = d_all[:P, ROW_CONIC:ROW_CONIC + 3]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, FPAD), 1)
+    stats_cols = (cols >= ROW_CONIC) & (cols < ROW_CONIC + 3)
+    d_allf = jnp.where(stats_cols, 0.0, d_all)
     zeros = jax.tree_util.tree_map(
-        jnp.zeros_like, (conic, means2d, point_list, pair_valid,
-                         tile_start, tile_count, bg, row_off))
-    return (d_mb, d_rgb, d_opa, zeros[0], zeros[1], d_m2d,
-            zeros[2], zeros[3], zeros[4], zeros[5], zeros[6], zeros[7])
+        jnp.zeros_like, (point_list, tile_start, tile_count, bg, row_off))
+    return (d_allf, d_stats) + zeros
 
 
-composite_pallas.defvjp(_composite_fwd, _composite_bwd)
+composite_from_features.defvjp(_cff_fwd, _cff_bwd)
+
+
+def composite_pallas(v2g_mb, rgb, opa, conic, means2d, means2d_stats,
+                     point_list, pair_valid, tile_start, tile_count, bg,
+                     row_off, statics: "R.RasterStatics"):
+    """Drop-in kernel-backed replacement for rasterize.composite: expands
+    the feature table and composites; gradients flow to (v2g_mb, rgb, opa)
+    through ordinary autodiff of _all_features and to means2d_stats via
+    the stats_dummy channel of composite_from_features."""
+    allf = _all_features(v2g_mb, rgb, opa, conic, means2d)
+    return composite_from_features(allf, means2d_stats, point_list,
+                                   tile_start, tile_count, bg, row_off,
+                                   statics)

@@ -545,6 +545,51 @@ def _composite_bwd(statics, res, cts):
 composite.defvjp(_composite_fwd, _composite_bwd)
 
 
+# --- feature-table entry (the XLA twin of pallas_raster.
+# composite_from_features): differentiable in the (P+1, FPAD=24) table of
+# [19 monomial columns | conic(3) | means2d(2)] + zero sentinel row, so
+# gaussian-sharded callers can expand on-shard and all_gather the table.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def composite_from_features(allf, stats_dummy, point_list, tile_start,
+                            tile_count, bg, row_off, statics: RasterStatics):
+    feat = allf[:-1, :NFEAT]
+    pair_valid = point_list < allf.shape[0] - 1
+    out, aux = _composite_fwd_impl(feat, point_list, pair_valid,
+                                   tile_start, tile_count, bg, statics,
+                                   row_off)
+    return out, aux
+
+
+def _cffx_fwd(allf, stats_dummy, point_list, tile_start, tile_count, bg,
+              row_off, statics):
+    out, aux = composite_from_features(allf, stats_dummy, point_list,
+                                       tile_start, tile_count, bg, row_off,
+                                       statics)
+    res = (allf, point_list, tile_start, tile_count, bg, row_off, aux)
+    return (out, aux), res
+
+
+def _cffx_bwd(statics, res, cts):
+    (allf, point_list, tile_start, tile_count, bg, row_off, aux) = res
+    g_out, _ = cts
+    nP1 = allf.shape[0]
+    pair_valid = point_list < nP1 - 1
+    d_feat, d_m2d = _composite_bwd_impl(
+        allf[:-1, :NFEAT], allf[:-1, NFEAT:NFEAT + 3],
+        allf[:-1, NFEAT + 3:NFEAT + 5], point_list, pair_valid, tile_start,
+        tile_count, bg, statics, aux, g_out, row_off)
+    d_allf = jnp.concatenate(
+        [jnp.concatenate([d_feat, jnp.zeros((nP1 - 1, 5), d_feat.dtype)], 1),
+         jnp.zeros((1, NFEAT + 5), d_feat.dtype)], 0)
+    zeros = jax.tree_util.tree_map(
+        jnp.zeros_like, (point_list, tile_start, tile_count, bg, row_off))
+    return (d_allf, d_m2d) + zeros
+
+
+composite_from_features.defvjp(_cffx_fwd, _cffx_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------

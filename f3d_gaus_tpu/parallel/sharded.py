@@ -27,47 +27,48 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..core import gaussians as G
 from ..ops import rasterize
 
 
-def _band_render_from_pre(pre, rgb, opa_in, camera, bg, row_off, n_rows, *,
-                          pair_cap, max_per_tile, chunk, backend, interpret):
-    """One band's bin + composite from already-preprocessed gaussians.
+def _band_composite(allf, means2d, radii, depths, camera, bg, row_off,
+                    n_rows, *, pair_cap, max_per_tile, chunk, backend,
+                    interpret):
+    """One band's bin + composite from the (P+1, 24) feature table.
     Mirrors the tail of rasterize.render (kept in sync by the parity test
     tests/test_sharded.py::test_tile_sharded_matches_single)."""
     from ..ops import binning as B
-    from ..ops.rasterize import RasterStatics, BLOCK, composite, \
-        _tiles_to_image, _pick_backend
+    from ..ops.rasterize import RasterStatics, BLOCK, _tiles_to_image, \
+        _pick_backend
+    from ..ops import rasterize as Rz
 
     width, height = camera.width, camera.height
     row_off = jnp.asarray(row_off, jnp.int32)
-    bin_m2d = pre.means2d - jnp.stack(
+    bin_m2d = means2d - jnp.stack(
         [jnp.zeros((), jnp.float32), row_off.astype(jnp.float32) * BLOCK])
     bin_h = n_rows * BLOCK
-    bng = B.bin_gaussians(bin_m2d, pre.radii, pre.depths, width, bin_h,
-                          pair_cap, max_per_tile=max_per_tile)
+    lanes = 256 if max_per_tile % 256 == 0 else 128
+    bng = B.bin_gaussians(bin_m2d, radii, depths, width, bin_h,
+                          pair_cap, max_per_tile=max_per_tile, align=lanes)
     statics = RasterStatics(width=width, height=height,
                             grid_x=bng.grid[0], grid_y=bng.grid[1],
                             focal_x=float(camera.focal_x),
                             focal_y=float(camera.focal_y),
                             max_per_tile=max_per_tile, chunk=chunk,
-                            interpret=interpret)
+                            interpret=interpret, lanes=lanes)
     if _pick_backend(backend) == "pallas":
         from ..ops import pallas_raster
-        composite_fn = pallas_raster.composite_pallas
+        cff = pallas_raster.composite_from_features
     else:
-        composite_fn = composite
-    m2d_stats = jnp.zeros((pre.means2d.shape[0], 3), jnp.float32)
-    out, aux = composite_fn(pre.v2g_mb, rgb, opa_in, pre.conic,
-                            jax.lax.stop_gradient(pre.means2d), m2d_stats,
-                            bng.point_list, bng.pair_valid,
-                            bng.tile_start, bng.tile_count,
-                            jax.lax.stop_gradient(jnp.asarray(bg, jnp.float32)),
-                            row_off, statics)
+        cff = Rz.composite_from_features
+    stats_dummy = jnp.zeros((allf.shape[0] - 1, 3), jnp.float32)
+    out, aux = cff(allf, stats_dummy, bng.point_list, bng.tile_start,
+                   bng.tile_count,
+                   jax.lax.stop_gradient(jnp.asarray(bg, jnp.float32)),
+                   row_off, statics)
     img = _tiles_to_image(out, statics._replace(height=bin_h))
     overflow = bng.overflow | jnp.any(bng.tile_count > max_per_tile)
     return img, overflow
@@ -109,25 +110,31 @@ def render_tile_sharded(mesh, axis, means3d, scales, quats, opacities, shs,
         out_specs=(P(None, axis, None), P(axis)),
         check_rep=False)
     def body(means3d, scales, quats, opacities, shs):
+        from ..ops import pallas_raster as PR
         d = jax.lax.axis_index(axis)
+        # ALL per-gaussian math on the local shard: preprocess + feature
+        # expansion; only the compact 24-column table (plus the 4 binning
+        # fields) crosses ICI.  The all_gather's transpose returns each
+        # device's gradient shard (reduce_scatter) — per-gaussian work
+        # scales with the mesh instead of replicating.
         pre = G.preprocess(means3d, scales, quats, opacities, shs, sh_degree,
                            camera, kernel_size)
         opa_flat = opacities.reshape(-1)
         opa_in = opa_flat + jax.lax.stop_gradient(pre.opa_coef - opa_flat)
-        rgb = pre.rgb
+        allf = PR._all_features(pre.v2g_mb, pre.rgb, opa_in, pre.conic,
+                                jax.lax.stop_gradient(pre.means2d))
+        means2d, radii, depths = pre.means2d, pre.radii, pre.depths
         if gaussian_shard:
-            # exchange the compact per-gaussian features over ICI; the
-            # transpose of this all_gather is the reduce_scatter that
-            # returns gradient shards to their owners
             ag = functools.partial(jax.lax.all_gather, axis_name=axis,
                                    tiled=True)
-            pre = G.Preprocessed(*[None if f is None else ag(f)
-                                   for f in pre])
-            opa_in, rgb = ag(opa_in), ag(rgb)
-        img, overflow = _band_render_from_pre(
-            pre, rgb, opa_in, camera, bg, d * n_rows, n_rows,
-            pair_cap=pair_cap, max_per_tile=max_per_tile, chunk=chunk,
-            backend=backend, interpret=interpret)
+            zrow = allf[-1:]
+            allf = jnp.concatenate([ag(allf[:-1]), zrow], axis=0)
+            means2d, radii, depths = ag(means2d), ag(radii), ag(depths)
+        img, overflow = _band_composite(
+            allf, jax.lax.stop_gradient(means2d), radii, depths, camera, bg,
+            d * n_rows, n_rows, pair_cap=pair_cap,
+            max_per_tile=max_per_tile, chunk=chunk, backend=backend,
+            interpret=interpret)
         return img, overflow[None]
 
     out9, overflow = body(means3d, scales, quats, opacities, shs)

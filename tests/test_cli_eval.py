@@ -18,6 +18,7 @@ def _write_demo(folder, rng, n=2, res=24):
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_end_to_end_smoke(self, rng, tmp_path, monkeypatch):
         """Full CLI path on a tiny config: NVS video + gaussian PLY + mesh."""
         import yaml

@@ -62,6 +62,7 @@ class TestLossPrimitives:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_all_terms_finite_and_decrease(self, rng):
         cfg = tiny_cfg()
         pcfg = cfg.predictor_config()
@@ -138,6 +139,7 @@ class TestCurriculum:
 
 
 class TestTowers:
+    @pytest.mark.slow
     def test_perceptual_and_clip_activate_with_towers(self, rng):
         from f3d_gaus_tpu.models import vgg as vggm, clip as clipm
         cfg = tiny_cfg()
@@ -158,6 +160,24 @@ class TestTowers:
 
 
 class TestShardedStep:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as GE
         GE.dryrun_multichip(4)
+
+
+class TestTrainStepQuick:
+    def test_one_step_finite(self, rng):
+        """Fast-tier compile+run coverage of the full train step (the
+        5-step loss-decrease assertion is slow-tier)."""
+        cfg = tiny_cfg()
+        pcfg = cfg.predictor_config()
+        ds = _DS(cfg)
+        pack = F.make_cameras_pack(cfg, ds, n_banks=1, views_per_bank=1)
+        state = F.init_state(jax.random.PRNGKey(0), cfg, lr=1e-4)
+        batch = make_batch(rng, 1, cfg.resolution)
+        state, loss, aux = F.train_step(state, cfg, pcfg, batch, pack,
+                                        lr=1e-4)
+        assert np.isfinite(float(loss))
+        for k in ("loss_rgb", "loss_depth", "loss_warping", "loss_cycle"):
+            assert np.isfinite(float(aux[k])), k

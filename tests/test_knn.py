@@ -50,6 +50,7 @@ class TestWindowedKNN:
         got = np.asarray(knn.mean_dist3(jnp.asarray(pts), window=128))
         np.testing.assert_allclose(got, brute_force(pts), rtol=1e-4)
 
+    @pytest.mark.slow
     def test_uniform_cloud_agreement(self):
         rng = np.random.default_rng(2)
         pts = rng.uniform(size=(20000, 3)).astype(np.float32)

@@ -218,3 +218,91 @@ class TestTorchParity:
             jv = np.asarray(jout[k])
             np.testing.assert_allclose(jv, tv, atol=3e-4,
                                        err_msg=f"key {k}")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAS_REF, reason="reference snapshot absent")
+class TestFullSizeCheckpoint:
+    def test_full_size_state_dict_roundtrip(self, tmp_path):
+        """Full-size layout proof (the pretrained .pt is stripped from this
+        snapshot): synthesize a base_dim-128 / 256^2 / num_blocks-3 torch
+        predictor, save it EXACTLY the way the reference checkpoint is laid
+        out (checkpoint['model'] + DDP 'module.' prefix, visualize.py:
+        204-210), load through convert.convert_checkpoint, and compare one
+        256^2 forward against the torch module."""
+        torch, ref = TestTorchParity._torch_modules(TestTorchParity())
+        res = 256
+        tcfg = {"model": {
+            "origin_distances": False,
+            "training_resolution": res, "fov": 13.164, "max_sh_degree": 1,
+            "inverted_x": False, "inverted_y": True, "name": "SingleUNet",
+            "opacity_scale": 0.001, "opacity_bias": -3.0, "scale_bias": 0.01,
+            "scale_scale": 0.0005, "xyz_scale": 1e-6, "xyz_bias": 0.0,
+            "depth_scale": 1.0, "depth_bias": 0.0,
+            "network_without_offset": False, "network_with_offset": True,
+            "attention_resolutions": [16], "num_blocks": 3,
+            "cross_view_attention": True, "base_dim": 128, "isotropic": False,
+            "network_with_uncertainty": False,
+        }}
+        tmodel = ref.GaussianSplatPredictor_gtunet(tcfg).eval()
+
+        # save in the reference checkpoint layout and load via the full path
+        # the checkpoint stores the WHOLE Unet_GS system module, whose
+        # predictor lives under the 'gaussian_predictor.' attribute
+        ckpt = {"model": {"module.gaussian_predictor." + k: v
+                          for k, v in tmodel.state_dict().items()}}
+        path = str(tmp_path / "full_size.pt")
+        torch.save(ckpt, path)
+
+        cfg = predictor.PredictorConfig(
+            resolution=res, fov_deg=13.164, base_dim=128, num_blocks=3,
+            attn_resolutions=(16,), model_channels=0)
+        params = convert.convert_checkpoint(path, cfg)
+        # every learned tensor must have been consumed by the plan walk
+        # (predictor-root buffers like the ray_dirs grid are DERIVED
+        # constants the JAX side computes, not weights)
+        n_params = sum(np.asarray(v).size
+                       for p in jax.tree_util.tree_leaves(params)
+                       for v in [p])
+        n_torch = sum(v.numel() for k, v in tmodel.state_dict().items()
+                      if k.startswith("network_with_offset.")
+                      and not k.endswith("resample_filter"))  # fixed consts
+        assert n_params == n_torch, (n_params, n_torch)
+
+        rng = np.random.default_rng(2)
+        B, N = 1, 1
+        imgs = rng.normal(size=(B, N, 4, res, res)).astype(np.float32)
+        depth = rng.uniform(6.7, 8.6, size=(B, N, 1, res, res)
+                            ).astype(np.float32)
+        from f3d_gaus_tpu.core import cameras
+        cs = cameras.build_camera_set(
+            np.array([0.1], np.float32), np.array([-0.05], np.float32),
+            7.667, 7.667, 13.164, 6.667, 8.667)
+        v2w = cs.view_to_world.reshape(B, N, 4, 4)
+        quats = cs.cv2wT_quat.reshape(B, N, 4)
+
+        import torch as _t
+        orig_ones = _t.ones
+
+        def _ones(*a, **kw):
+            kw.pop("device", None)
+            return orig_ones(*a, **kw)
+        _t.ones = _ones
+        try:
+            with torch.no_grad():
+                tout = tmodel(torch.from_numpy(imgs), torch.from_numpy(v2w),
+                              source_cv2wT_quat=torch.from_numpy(quats),
+                              unet_depth=torch.from_numpy(
+                                  depth.reshape(B * N, 1, res, res)))
+        finally:
+            _t.ones = orig_ones
+
+        jout = predictor.apply(params, cfg,
+                               jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
+                               jnp.asarray(v2w), jnp.asarray(quats),
+                               jnp.asarray(depth[:, :, 0]))
+        for k in ("xyz", "opacity", "scaling", "rotation", "features_dc",
+                  "features_rest"):
+            tv = tout[k].numpy()
+            jv = np.asarray(jout[k])
+            np.testing.assert_allclose(jv, tv, atol=5e-4, err_msg=f"key {k}")

@@ -57,6 +57,7 @@ class TestDataset:
 
 
 class TestCyclePipeline:
+    @pytest.mark.slow
     def test_run_nvs_shapes(self, small_cfg, demo_folder):
         cfg = small_cfg
         ds = dataset.DemoDataset(demo_folder, cfg)
@@ -81,6 +82,7 @@ class TestCyclePipeline:
         assert agg_views["render"].shape == (B, cfg.num_aggregation_views,
                                              3, 32, 32)
 
+    @pytest.mark.slow
     def test_overflow_raises_and_replan_recovers(self, small_cfg, demo_folder):
         """Static caps too small for the merged 9x set must raise
         RenderOverflow (no silent truncation — the CUDA reference is exact

@@ -251,6 +251,7 @@ class TestBackwardParity:
 
 
 class TestEndToEndGradients:
+    @pytest.mark.slow
     def test_finite_differences_rgb_normal(self, rng):
         """Full-chain gradients (through preprocess) vs central differences
         on the RGB+normal channels (no detached paths there)."""
