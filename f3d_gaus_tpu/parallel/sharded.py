@@ -108,7 +108,7 @@ def render_tile_sharded(mesh, axis, means3d, scales, quats, opacities, shs,
         shard_map, mesh=mesh,
         in_specs=(gspec, gspec, gspec, gspec, gspec),
         out_specs=(P(None, axis, None), P(axis)),
-        check_rep=False)
+        check_vma=False)
     def body(means3d, scales, quats, opacities, shs):
         from ..ops import pallas_raster as PR
         d = jax.lax.axis_index(axis)
