@@ -8,8 +8,11 @@ Layer map (bottom to top):
   core/      pure-JAX geometry & math (cameras, quaternions, SH, covariances)
   ops/       the differentiable GOF rasterizer: binning, forward, backward,
              integrate (opacity-field query), KNN, image losses
-  models/    SongUNet predictor (flax.linen) + torch-checkpoint conversion
-  parallel/  device-mesh sharding: tile/ray + Gaussian sharding, psum grads
+  models/    SongUNet predictor (plain-JAX param-dict functions, torch-name
+             keyed for mechanical .pt conversion) + VGG/CLIP loss towers
+  parallel/  device-mesh sharding: data/batch parallelism (mesh.py) and the
+             tile/ray + Gaussian-sharded renderer with psum'd per-gaussian
+             grads (sharded.py, shard_map over a named mesh axis)
   pipeline/  data loading, cycle aggregation, NVS orbit rendering, export
   mesh/      opacity-field iso-surface extraction (tetrahedra / binary search)
   train/     per-scene GOF trainer (densification) + feed-forward trainer

@@ -56,10 +56,16 @@ def _mha(x, p, heads):
     return o @ p["out_w"].T + p["out_b"]
 
 
+def _quick_gelu(x):
+    """OpenAI CLIP's QuickGELU (model.py): x * sigmoid(1.702 x).  NOT the
+    exact/tanh GELU — converted OpenAI weights assume this activation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
 def _block(x, p, heads):
     x = x + _mha(_ln(x, p["ln_1"]), p["attn"], heads)
     h = _ln(x, p["ln_2"])
-    h = jax.nn.gelu(h @ p["mlp_fc_w"].T + p["mlp_fc_b"], approximate=False)
+    h = _quick_gelu(h @ p["mlp_fc_w"].T + p["mlp_fc_b"])
     return x + (h @ p["mlp_proj_w"].T + p["mlp_proj_b"])
 
 

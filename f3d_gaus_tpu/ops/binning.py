@@ -157,13 +157,12 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     # bit-packed so the common shapes need only TWO passes:
     #   word A = start * 128 + rect_w          (start < pair_cap, rect_w <= 127)
     #   word B = base_tile * 2^ceil_log2(P) + gaussian_id
-    # rect_w <= grid_x <= 127 for any width <= 2032.
-    if grid_x > 127:
-        raise ValueError("grid_x > 127 unsupported by the packed rect word")
+    # rect_w <= grid_x <= 127 for any width <= 2032; wider frames take the
+    # unpacked two-pass path below (one extra scatter+cumsum).
     base_tile = ymin * grid_x + xmin
     rect_w = jnp.maximum(xmax - xmin, 1)
     gid_bits = max(int(P).bit_length(), 1)
-    packA = pair_cap <= (1 << 24)                 # start*128 fits int32
+    packA = pair_cap <= (1 << 24) and grid_x <= 127   # start*128+rect_w fits
     packB = gid_bits + int(num_tiles).bit_length() <= 31
     if packA:
         a_f = _fill_forward(starts * jnp.int32(128) + rect_w, starts,

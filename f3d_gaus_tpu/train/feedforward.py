@@ -264,6 +264,25 @@ def train_step(state: TrainState, cfg: PipelineConfig, pcfg, batch,
     return TrainState(params, opt_state, state.step + 1), loss, aux
 
 
+def bank_angles(cur: Curriculum, bank: int, n_banks: int,
+                views_per_bank: int):
+    """(yaws, pitches) of one difficulty bank — the testable geometry spec.
+
+    Bank i's difficulty interpolates start_diff -> final_diff linearly in
+    i/(n_banks-1); yaw amplitude is pi/diff (so bank 0 = pi/start_diff,
+    last = pi/final_diff, monotone widening) and pitch amplitude is the
+    FIXED pi/denominator2, per the yaml:66-71 reading (the reference's
+    training script is unreleased; tests/test_feedforward.py pins these
+    endpoints so the intent stays frozen)."""
+    import numpy as _np
+    f = bank / max(n_banks - 1, 1)
+    diff = cur.start_diff + (cur.final_diff - cur.start_diff) * f
+    ang = 2 * _np.pi * _np.arange(views_per_bank) / views_per_bank
+    yaws = (_np.pi / diff * -_np.sin(ang)).astype(_np.float32)
+    pitches = (_np.pi / cur.denominator2 * _np.cos(ang)).astype(_np.float32)
+    return yaws, pitches
+
+
 def make_cameras_pack(cfg: PipelineConfig, dataset,
                       cur: Curriculum = Curriculum(), n_banks: int = 6,
                       views_per_bank: int = 4) -> CamerasPack:
@@ -281,13 +300,7 @@ def make_cameras_pack(cfg: PipelineConfig, dataset,
 
     banks = []
     for i in range(n_banks):
-        f = i / max(n_banks - 1, 1)
-        diff = cur.start_diff + (cur.final_diff - cur.start_diff) * f
-        yaw_r = _np.pi / diff
-        pitch_r = _np.pi / cur.denominator2
-        ang = 2 * _np.pi * _np.arange(views_per_bank) / views_per_bank
-        yaws = (yaw_r * -_np.sin(ang)).astype(_np.float32)
-        pitches = (pitch_r * _np.cos(ang) * f).astype(_np.float32)
+        yaws, pitches = bank_angles(cur, i, n_banks, views_per_bank)
         banks.append(C.build_camera_set(
             yaws, pitches, cfg.radius, cfg.look_at_z, cfg.fov_deg,
             cfg.z_near, cfg.z_far, rebase=rebase))

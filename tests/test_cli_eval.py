@@ -18,6 +18,35 @@ def _write_demo(folder, rng, n=2, res=24):
 
 
 class TestCLI:
+    def test_fast_smoke_nvs_only(self, rng, tmp_path, monkeypatch):
+        """Cheap fast-tier end-to-end: one image through the full CLI with
+        --skip_mesh and minimal capacities.  Exists so a broken pipeline
+        can't ship on a green default `pytest` run (the round-4 failure
+        mode); the full NVS+mesh path stays in the slow tier."""
+        import dataclasses
+        import yaml
+        from f3d_gaus_tpu.pipeline import config as C
+        demo = str(tmp_path / "imgs")
+        _write_demo(demo, rng, n=1)
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump({
+                "model": {"training_resolution": 32, "base_dim": 32,
+                          "num_blocks": 1, "attention_resolutions": [8]},
+            }, f)
+        orig = C.from_yaml
+        monkeypatch.setattr(C, "from_yaml", lambda p: dataclasses.replace(
+            orig(p), pair_cap=1 << 12, max_per_tile=64, chunk=32,
+            num_aggregation_views=1, num_nvs_views=1))
+        from f3d_gaus_tpu import cli
+        out = str(tmp_path / "out")
+        cli.main(["--folder", demo, "--output_path", out,
+                  "--config", cfg_path, "--batch_size", "1",
+                  "--skip_mesh", "--max_batches", "1"])
+        d0 = os.path.join(out, "00_00")
+        assert any(f.startswith("nvs.") for f in os.listdir(d0))
+        assert os.path.exists(os.path.join(d0, "gaussians.ply"))
+
     @pytest.mark.slow
     def test_end_to_end_smoke(self, rng, tmp_path, monkeypatch):
         """Full CLI path on a tiny config: NVS video + gaussian PLY + mesh."""

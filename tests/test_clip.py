@@ -61,6 +61,40 @@ def test_mha_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_block_matches_torch_residual_attention_block():
+    """Full pre-norm block vs a torch replica of OpenAI CLIP's
+    ResidualAttentionBlock — pins QuickGELU (x*sigmoid(1.702x)), not exact
+    GELU, as the MLP activation the converted weights assume."""
+    sd = _synth_state_dict()
+    params = clip.convert_torch_clip_visual(sd)
+    blk = params["blocks"][0]
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 5, clip.WIDTH)).astype(np.float32)
+    got = np.asarray(clip._block(jnp.asarray(x), blk, clip.HEADS))
+    p = "visual.transformer.resblocks.0"
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        ln1 = torch.nn.functional.layer_norm(
+            t, (clip.WIDTH,), sd[f"{p}.ln_1.weight"], sd[f"{p}.ln_1.bias"])
+        a, _ = torch.nn.functional.multi_head_attention_forward(
+            ln1.transpose(0, 1), ln1.transpose(0, 1), ln1.transpose(0, 1),
+            clip.WIDTH, clip.HEADS,
+            sd[f"{p}.attn.in_proj_weight"], sd[f"{p}.attn.in_proj_bias"],
+            None, None, False, 0.0,
+            sd[f"{p}.attn.out_proj.weight"], sd[f"{p}.attn.out_proj.bias"],
+            need_weights=False)
+        t = t + a.transpose(0, 1)
+        h = torch.nn.functional.layer_norm(
+            t, (clip.WIDTH,), sd[f"{p}.ln_2.weight"], sd[f"{p}.ln_2.bias"])
+        h = torch.nn.functional.linear(
+            h, sd[f"{p}.mlp.c_fc.weight"], sd[f"{p}.mlp.c_fc.bias"])
+        h = h * torch.sigmoid(1.702 * h)          # QuickGELU
+        h = torch.nn.functional.linear(
+            h, sd[f"{p}.mlp.c_proj.weight"], sd[f"{p}.mlp.c_proj.bias"])
+        want = (t + h).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_encode_and_loss_shapes():
     sd = _synth_state_dict(grid=2)
     params = clip.convert_torch_clip_visual(sd)

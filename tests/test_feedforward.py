@@ -112,8 +112,8 @@ class TestCurriculum:
         ds = _DS(cfg)
         cur = F.Curriculum(start_diff=24, final_diff=6, start_iter=0,
                            end_iter=100)
-        pack = F.make_cameras_pack(cfg, ds, cur, n_banks=4, views_per_bank=2)
-        assert pack.nb_wv.shape[:2] == (4, 2)
+        pack = F.make_cameras_pack(cfg, ds, cur, n_banks=4, views_per_bank=4)
+        assert pack.nb_wv.shape[:2] == (4, 4)
         # step 0 -> easiest bank (0); step >= end_iter -> hardest (D-1)
         c0 = F.select_novel_camera(pack, jnp.asarray(0), cur)
         cend = F.select_novel_camera(pack, jnp.asarray(500), cur)
@@ -122,10 +122,28 @@ class TestCurriculum:
         np.testing.assert_allclose(np.asarray(cend[2]),
                                    np.asarray(pack.nb_wv[3, 0]))
         # harder banks swing the camera farther from the canonical pose
+        # (view 1 = the pure-yaw view; pitch amplitude is fixed per spec)
         cano = np.asarray(pack.cano_cc)
-        d_easy = np.linalg.norm(np.asarray(pack.nb_cc[0, 0]) - cano)
-        d_hard = np.linalg.norm(np.asarray(pack.nb_cc[3, 0]) - cano)
+        d_easy = np.linalg.norm(np.asarray(pack.nb_cc[0, 1]) - cano)
+        d_hard = np.linalg.norm(np.asarray(pack.nb_cc[3, 1]) - cano)
         assert d_hard > d_easy
+
+    def test_bank_angles_pinned_to_yaml_spec(self):
+        """Freeze the curriculum geometry (yaml:66-71 reading): bank-0 yaw
+        amplitude pi/24, final pi/6, pitch amplitude FIXED pi/18 for every
+        bank, yaw range monotone easy -> hard."""
+        cur = F.Curriculum()          # start_diff 24, final_diff 6, den2 18
+        n_banks, V = 6, 8
+        amps = []
+        for i in range(n_banks):
+            yaws, pitches = F.bank_angles(cur, i, n_banks, V)
+            amps.append(np.max(np.abs(yaws)))
+            np.testing.assert_allclose(np.max(np.abs(pitches)), np.pi / 18,
+                                       rtol=1e-6)
+        np.testing.assert_allclose(amps[0], np.pi / 24, rtol=1e-6)
+        np.testing.assert_allclose(amps[-1], np.pi / 6, rtol=1e-6)
+        assert all(b > a * (1 - 1e-6) for a, b in zip(amps, amps[1:])), \
+            "yaw range must widen monotonically with difficulty"
 
     def test_views_rotate_within_bank(self, rng):
         cfg = tiny_cfg()

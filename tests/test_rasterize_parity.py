@@ -79,6 +79,26 @@ class TestBinningParity:
         assert 1 not in seen and 3 not in seen
         assert {0, 2, 4} <= seen, "live gaussians after culled ones must render"
 
+    def test_wide_frame_unpacked_fallback(self, rng):
+        """grid_x > 127 (width > 2032) can't use the packed rect word; the
+        two-pass fill-forward fallback must produce identical tile lists
+        (capability the CUDA reference has for arbitrary widths)."""
+        width, height = 2560, 32          # grid_x = 160
+        cam, cloud = _setup(rng, n=48, width=width, height=height)
+        pre = _pre(cam, cloud)
+        lists = rasterize_ref.build_tile_lists(
+            np.asarray(pre.means2d), np.asarray(pre.radii),
+            np.asarray(pre.depths), np.asarray(pre.valid), width, height)
+        bng = binning.bin_gaussians(pre.means2d, pre.radii, pre.depths,
+                                    width, height, pair_cap=1 << 14)
+        assert not bool(bng.overflow)
+        pl = np.asarray(bng.point_list)
+        start = np.asarray(bng.tile_start)
+        count = np.asarray(bng.tile_count)
+        for t, ids in enumerate(lists):
+            np.testing.assert_array_equal(pl[start[t]:start[t] + count[t]],
+                                          ids, err_msg=f"tile {t}")
+
     def test_pair_count_and_overflow(self, rng):
         cam, cloud = _setup(rng)
         pre = _pre(cam, cloud)
