@@ -62,6 +62,33 @@ def main():
         return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(means, scales, quats,
                                                        opac, shs)
 
+    # --- on-hardware correctness anchor: the compiled pallas kernels must
+    # match the portable XLA formulation ON THIS CHIP before we time them
+    # (catches Mosaic lowering differences that interpret-mode CPU tests
+    # cannot see).  Channels 0-5,7,8; depth (6) excluded — its
+    # max-contributor selection is discrete.  Tolerances allow the known
+    # benign discrete flips: a gaussian whose alpha lands exactly at
+    # ALPHA_EPS = 1/255 can be included by one backend and excluded by the
+    # other (f32 rounding differs between the MXU monomial matmul and the
+    # XLA scalar chain), moving a pixel by up to ~alpha*|color| ~ 5e-3 —
+    # so the anchor bounds the max error at 2e-2 AND the fraction of
+    # pixels above f32 noise at 0.1%.
+    parity_max_err = None
+    if jax.default_backend() != "cpu":
+        sm = slice(0, 4096)
+        small = [a[sm] for a in args]
+        pa = rasterize.render(*small, cam, bg, chunk=128,
+                              backend="pallas", **caps)["out9"]
+        xl = rasterize.render(*small, cam, bg, chunk=128,
+                              backend="xla", **caps)["out9"]
+        ch = jnp.asarray(list(range(6)) + [7, 8])
+        err = jnp.abs(pa[ch] - xl[ch])
+        parity_max_err = float(jnp.max(err))
+        frac_off = float(jnp.mean((err > 1e-3).astype(jnp.float32)))
+        assert parity_max_err < 2e-2 and frac_off < 1e-3, (
+            f"pallas-vs-xla on-device parity broke: max={parity_max_err} "
+            f"frac>1e-3={frac_off}")
+
     # compile + warmup
     out = fwd_bwd(*args)
     jax.block_until_ready(out)
@@ -73,12 +100,15 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (res * res / 1e6) / dt
-    print(json.dumps({
+    rec = {
         "metric": "fwd_bwd_render_256_mpix_per_s_chip",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_s / CUDA_REF_MPIX_S, 3),
-    }))
+    }
+    if parity_max_err is not None:
+        rec["parity_max_err"] = parity_max_err
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -129,10 +129,13 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     P = means2d.shape[0]
     NPAD = pair_cap + num_tiles * align
 
-    # --- depth-rank relabeling (sortable-int keys)
+    # --- depth-rank relabeling (sortable-int keys).  Two-key non-stable
+    # sort == stable single-key sort here (ids are unique and ascending,
+    # so the id tiebreak reproduces original order on equal depths), and
+    # XLA lowers it ~5x faster on TPU than is_stable=True.
     ids = jnp.arange(P, dtype=jnp.int32)
     ik = _sortable_depth_key(depths, radii)
-    _, perm = jax.lax.sort((ik, ids), num_keys=1, is_stable=True)
+    _, perm = jax.lax.sort((ik, ids), num_keys=2, is_stable=False)
 
     xmin, ymin, xmax, ymax, count = tile_rects(means2d[perm], radii[perm],
                                                width, height)

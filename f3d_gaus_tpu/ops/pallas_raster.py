@@ -171,6 +171,8 @@ def _forms(W, U, V):
         jnp.concatenate([zero3, n2r, zero2], 0)], axis=1)   # (8, 6C)
     Dmon = jnp.concatenate([U * U, U * V, V * V, U, V, one,
                             jnp.zeros_like(U), jnp.zeros_like(U)], axis=1)
+    # HIGHEST keeps the matmul in f32 (Mosaic lowers only DEFAULT/HIGHEST,
+    # and 1-pass bf16 would break the 1e-4 oracle tolerance)
     E = jax.lax.dot_general(Dmon, Wm, (((1,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
@@ -182,21 +184,24 @@ def _forms(W, U, V):
     nz = E[:, 5 * Cw:6 * Cw]
 
     # clamp the PSD forms at zero/tiny — f32 rounding can push them slightly
-    # negative for thin gaussians (see rasterize._chunk_eval)
+    # negative for thin gaussians (see rasterize._chunk_eval); one shared
+    # reciprocal + rsqrt replace the three divides and the sqrt+div chain
+    # (divides are multi-pass on the VPU)
     AA_safe = jnp.maximum(AA, 1e-12)
     num = jnp.maximum(num, 0.0)
-    t = -BB / (2.0 * AA_safe)
-    min_value = num / AA_safe
+    rAA = 1.0 / AA_safe
+    t = -0.5 * BB * rAA
+    min_value = num * rAA
     power = _passthrough_min(-0.5 * min_value, 0.0)
     G = jnp.exp(power)
     alpha_raw = _passthrough_min(W[18:19, :] * G, 0.99)
 
-    length = jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-7)
-    inv_len = 1.0 / length
+    inv_len = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-7)
 
     t_pos = jnp.maximum(t, 1e-6)
-    m = (FAR_PLANE * t_pos - FAR_PLANE * NEAR_PLANE) / (
-        (FAR_PLANE - NEAR_PLANE) * t_pos)
+    # m = F(t-N) / ((F-N) t) = F/(F-N) - F N/(F-N) * (1/t)
+    c1 = FAR_PLANE / (FAR_PLANE - NEAR_PLANE)
+    m = c1 - (c1 * NEAR_PLANE) / t_pos
     zero = jnp.zeros_like(AA)
     return {"alpha_raw": alpha_raw, "G": G, "t": t, "m": m,
             "n0": -nx * inv_len, "n1": -ny * inv_len, "n2": -nz * inv_len,
@@ -218,27 +223,23 @@ def _tile_uv(t, s: "R.RasterStatics"):
     return u, v, px, py
 
 
-def _n_chunks(max_per_tile, C):
-    if max_per_tile % C != 0:
-        raise ValueError(
-            f"pallas backend needs max_per_tile % {C} == 0, got {max_per_tile}")
-    return max(max_per_tile // C, 1)
-
-
-def _cap_count(cnt, K):
-    return jnp.minimum(cnt, K)
-
-
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, outf_ref,
+def _fwd_kernel(s, cnt_ref, bt_ref, bj_ref, roff_ref, win_ref, outf_ref,
                 outi_ref, accf, acci, stop_s):
-    t = pl.program_id(0)
-    k = pl.program_id(1)
+    """One grid step per SLAB BLOCK (not per (tile, chunk) pair): binning
+    allocates exactly ceil(count/lanes) aligned blocks per tile, so a 1-D
+    walk over blocks visits only real work — grid size is independent of
+    max_per_tile and there are no inactive (tile, chunk) steps to pay for.
+    bt/bj: prefetched block -> (owning tile, chunk index within tile);
+    cnt is pre-capped at max_per_tile.  Tiles with zero blocks are fixed
+    up outside (_fix_empty_tiles)."""
+    b = pl.program_id(0)
+    t = bt_ref[b]
+    k = bj_ref[b]
     C = s.lanes
-    K = NCH * C
 
     @pl.when(k == 0)
     def _():
@@ -247,7 +248,7 @@ def _fwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, outf_ref,
         acci[:] = jnp.full((PIX, 8), -1, jnp.int32)
         stop_s[0] = 0
 
-    cnt = _cap_count(cnt_ref[t], K)
+    cnt = cnt_ref[t]
     active = (k * C < cnt) & (stop_s[0] == 0)
 
     @pl.when(active)
@@ -265,9 +266,14 @@ def _fwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, outf_ref,
         T_carry = accf[:, AF_T:AF_T + 1]
         stopped_c = accf[:, AF_STOPPED:AF_STOPPED + 1] > 0.5
         T_before = T_carry * _cumprod_excl(om)
+        # T is monotone non-increasing along lanes, so once any valid lane
+        # crosses the stop test (T_after < STOP_T, forward.cu:528) every
+        # LATER valid lane's own test also fires: T_before_j <= T_after_i
+        # < STOP_T and (1-alpha_raw_j) <= 1.  Hence "at or after the first
+        # stop" == "own stop test fires" on valid lanes — no inclusive
+        # lane scan needed.
         stop = vc & (T_before * (1.0 - alpha_raw) < STOP_T)
-        stopped_incl = _cumsum_incl(stop.astype(jnp.float32)) >= 1.0
-        contrib = vc & (~stopped_incl) & (~stopped_c)
+        contrib = vc & (~stop) & (~stopped_c)
         w = jnp.where(contrib, T_before * alpha, 0.0)
 
         for j, key in enumerate(("r0", "r1", "r2")):
@@ -314,71 +320,103 @@ def _fwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, outf_ref,
         def _():
             stop_s[0] = 1
 
-    @pl.when(k == NCH - 1)
+    @pl.when(((k + 1) * C >= cnt) & (k * C < cnt))
     def _():
         outf_ref[0] = accf[:]
         outi_ref[0] = acci[:]
 
 
-def _slab_index(NCH, C):
-    """Block index of chunk k of tile t inside the aligned slab: tile t's
-    segment starts at block ablk[t]; k is clamped to the tile's last real
-    chunk so saturated/overrun steps re-use the already-fetched block."""
-    def index(t, k, cnt, ablk, roff):
-        last = jnp.maximum(jax.lax.div(_cap_count(cnt[t], NCH * C) + C - 1,
-                                       C) - 1, 0)
-        return (ablk[t] + jnp.minimum(k, last), 0, 0)
-    return index
+def _block_maps(tile_start, tile_count, NB, C, max_per_tile):
+    """Block -> (owning tile, within-tile chunk) maps plus the per-tile
+    capped count, computed from the aligned slab layout (tile t occupies
+    blocks [tile_start[t]/C, ...), exactly ceil(min(count, mpt)/C) of
+    them).  Zero-count tiles own no blocks (their aligned start collides
+    with the next tile's; the fill-forward's last-wins rule skips them);
+    global-tail blocks inherit the last tile id with j >= its chunk count,
+    which every kernel treats as inactive."""
+    T_tiles = tile_start.shape[0]
+    ablk = tile_start // jnp.int32(C)
+    cntc = jnp.minimum(tile_count, max_per_tile).astype(jnp.int32)
+    tids = jnp.arange(T_tiles, dtype=jnp.int32)
+    blk_tile = B_fill_forward(tids, ablk, NB)
+    blk_ablk = B_fill_forward(ablk, ablk, NB)
+    blk_j = jnp.arange(NB, dtype=jnp.int32) - blk_ablk
+    return blk_tile, blk_j, cntc, ablk
 
 
-def _run_forward(slab, tile_count, ablk, row_off, s: "R.RasterStatics",
-                 interpret=False):
+def B_fill_forward(values, starts, n):
+    from . import binning as _B
+    return _B._fill_forward(values, starts, n)
+
+
+def _fix_empty_tiles(outf, outi, cntc):
+    """Tiles that own zero slab blocks are never visited by the block walk;
+    overwrite their (uninitialized) rows with the empty-scene accumulator
+    state (T=1, everything else 0 / -1)."""
+    empty = (cntc == 0)[:, None, None]
+    col = jax.lax.broadcasted_iota(jnp.int32, outf.shape, 2)
+    init_f = jnp.where(col == AF_T, 1.0, 0.0)
+    outf = jnp.where(empty, init_f, outf)
+    outi = jnp.where(empty, jnp.int32(-1), outi)
+    return outf, outi
+
+
+def _run_forward(slab, tile_count, tile_start, row_off,
+                 s: "R.RasterStatics", interpret=False):
     T_tiles = s.grid_x * s.grid_y
     C = s.lanes
-    NCH = _n_chunks(s.max_per_tile, C)
+    NB = slab.shape[0]
+    blk_tile, blk_j, cntc, _ = _block_maps(tile_start, tile_count, NB, C,
+                                           s.max_per_tile)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(T_tiles, NCH),
-        in_specs=[pl.BlockSpec((1, FPAD, C), _slab_index(NCH, C),
+        num_scalar_prefetch=4,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec((1, FPAD, C), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, PIX, 16), lambda t, k, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 8), lambda t, k, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 16), lambda b, cnt, bt, bj, roff:
+                         (bt[b], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 8), lambda b, cnt, bt, bj, roff:
+                         (bt[b], 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((PIX, 16), jnp.float32),
                         pltpu.VMEM((PIX, 8), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)])
     outf, outi = pl.pallas_call(
-        functools.partial(_fwd_kernel, s, NCH),
+        functools.partial(_fwd_kernel, s),
         out_shape=(jax.ShapeDtypeStruct((T_tiles, PIX, 16), jnp.float32),
                    jax.ShapeDtypeStruct((T_tiles, PIX, 8), jnp.int32)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_count.astype(jnp.int32), ablk.astype(jnp.int32),
+    )(cntc, blk_tile, blk_j,
       jnp.asarray(row_off, jnp.int32).reshape(1), slab)
-    return outf, outi
+    return _fix_empty_tiles(outf, outi, cntc)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, gl_ref,
+def _bwd_kernel(s, cnt_ref, bt_ref, bj_ref, roff_ref, win_ref, gl_ref,
                 bwf_ref, bwi_ref, dwin_ref, accb, lim_s):
-    """Reverse chunk traversal (the structure of backward.cu:738-953).
+    """Reverse chunk traversal (the structure of backward.cu:738-953),
+    walking each tile's slab blocks back-to-front: grid step b handles
+    tile bt[b]'s chunk kk = nch-1-bj[b] (the window/output index maps
+    realize the reversal).  Steps beyond the tile's last contributor
+    (or tail blocks) zero their OWN block — those pairs contribute no
+    gradient, and the zero write is what the segment reduction needs.
     gl channels: 0-2 gL_rgb, 3-5 gL_nn, 6 gL_depth, 7 gL_reg, 8 bg_dot.
     bwf channels: 0 final_T, 1 final_D1.  bwi: 0 last_pos, 1 max_pos."""
-    t = pl.program_id(0)
-    kr = pl.program_id(1)
-    kk = NCH - 1 - kr
+    b = pl.program_id(0)
+    t = bt_ref[b]
+    j = bj_ref[b]
     C = s.lanes
-    K = NCH * C
-    cnt = _cap_count(cnt_ref[t], K)
+    cnt = cnt_ref[t]
+    nch = jax.lax.div(cnt + C - 1, C)
+    kk = nch - 1 - j
 
-    @pl.when(kr == 0)
+    @pl.when(j == 0)
     def _():
         T_final = bwf_ref[0, :, 0:1]
         col = jax.lax.broadcasted_iota(jnp.int32, (PIX, 8), 1)
@@ -387,7 +425,7 @@ def _bwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, gl_ref,
         # per-tile chunk bound: nothing past the last contributor
         lim_s[0] = jnp.max(bwi_ref[0, :, 0])
 
-    active = (kk * C < cnt) & (kk * C <= lim_s[0])
+    active = (j < nch) & (kk * C < cnt) & (kk * C <= lim_s[0])
 
     @pl.when(active)
     def _():
@@ -491,47 +529,49 @@ def _bwd_kernel(s, NCH, cnt_ref, ablk_ref, roff_ref, win_ref, gl_ref,
         dwin_ref[0] = jnp.zeros((FPAD, C), jnp.float32)
 
 
-def _run_backward(slab, tile_count, ablk, row_off, gl, bwf, bwi,
+def _run_backward(slab, tile_count, tile_start, row_off, gl, bwf, bwi,
                   s: "R.RasterStatics", interpret=False):
     """Writes the gradient slab in the SAME aligned layout as the feature
-    slab: block ablk[t]+kk holds d/dW of tile t's chunk kk.  Steps whose kk
-    overruns the tile's chunk range clamp to the tile's last block and run
-    BEFORE the active steps (kr ascending == kk descending), so their zero
-    writes are overwritten by the real gradients — slab padding blocks keep
-    whatever lands there and are dropped by the sentinel segment ids."""
-    T_tiles = s.grid_x * s.grid_y
+    slab: grid step b (tile t, within-tile index j) reads/writes block
+    ablk[t] + nch-1-j — tile t's blocks back-to-front.  Inactive steps
+    (past the last contributor, or global-tail blocks with j >= nch) zero
+    their block: those pairs contribute nothing, and slab padding lanes
+    are dropped by the sentinel segment ids downstream."""
     C = s.lanes
-    NCH = _n_chunks(s.max_per_tile, C)
     NB = slab.shape[0]
+    blk_tile, blk_j, cntc, ablk_arr = _block_maps(tile_start, tile_count,
+                                                  NB, C, s.max_per_tile)
 
-    def win_index(t, kr, cnt, ablk, roff):
-        kk = NCH - 1 - kr
-        last = jnp.maximum(jax.lax.div(_cap_count(cnt[t], NCH * C) + C - 1,
-                                       C) - 1, 0)
-        return (ablk[t] + jnp.minimum(kk, last), 0, 0)
+    def win_index(b, cnt, bt, bj, roff):
+        t = bt[b]
+        j = bj[b]
+        nch = jax.lax.div(cnt[t] + C - 1, C)
+        # active blocks reverse within the tile; tail blocks (j >= nch)
+        # map to themselves (their zero write is harmless and in-bounds)
+        return (jnp.where(j < nch, (b - j) + nch - 1 - j, b), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(T_tiles, NCH),
+        num_scalar_prefetch=4,
+        grid=(NB,),
         in_specs=[
             pl.BlockSpec((1, FPAD, C), win_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 16), lambda t, kr, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 8), lambda t, kr, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 8), lambda t, kr, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 16), lambda b, cnt, bt, bj, roff:
+                         (bt[b], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 8), lambda b, cnt, bt, bj, roff:
+                         (bt[b], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 8), lambda b, cnt, bt, bj, roff:
+                         (bt[b], 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, FPAD, C), win_index,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32),
                         pltpu.SMEM((1,), jnp.int32)])
     dwin = pl.pallas_call(
-        functools.partial(_bwd_kernel, s, NCH),
+        functools.partial(_bwd_kernel, s),
         out_shape=jax.ShapeDtypeStruct((NB, FPAD, C), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_count.astype(jnp.int32), ablk.astype(jnp.int32),
+    )(cntc, blk_tile, blk_j,
       jnp.asarray(row_off, jnp.int32).reshape(1), slab, gl, bwf,
       bwi)
     return dwin
@@ -587,11 +627,10 @@ def _assemble_out(outf, outi, bg):
 def _pallas_fwd_impl(allf, point_list, tile_start, tile_count, bg, row_off,
                      s):
     slab = _build_slab(allf, point_list, s.lanes)
-    ablk = tile_start // jnp.int32(s.lanes)  # binning aligns starts to lanes
-    outf, outi = _run_forward(slab, tile_count, ablk, row_off, s,
+    outf, outi = _run_forward(slab, tile_count, tile_start, row_off, s,
                               interpret=s.interpret)
     out, aux = _assemble_out(outf, outi, bg)
-    return out, aux, (slab, ablk)
+    return out, aux, slab
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -631,7 +670,7 @@ def _cff_fwd(allf, stats_dummy, point_list, tile_start, tile_count, bg,
 
 
 def _cff_bwd(statics, res, cts):
-    (point_list, tile_start, tile_count, bg, row_off, aux, (slab, ablk),
+    (point_list, tile_start, tile_count, bg, row_off, aux, slab,
      nP1) = res
     g_out, _ = cts
     s = statics
@@ -653,8 +692,8 @@ def _cff_bwd(statics, res, cts):
         aux.last_pos[..., None], aux.max_pos[..., None],
         jnp.zeros((T_tiles, PIX, 6), jnp.int32)], axis=-1)
 
-    dwin = _run_backward(slab, tile_count, ablk, row_off, gl, bwf, bwi, s,
-                         interpret=s.interpret)
+    dwin = _run_backward(slab, tile_count, tile_start, row_off, gl, bwf,
+                         bwi, s, interpret=s.interpret)
     rows = jnp.transpose(dwin, (0, 2, 1)).reshape(-1, FPAD)
     # point_list IS the segment map: aligned-slab padding carries the
     # sentinel id P, whose row lands in the (kept) sentinel segment — the

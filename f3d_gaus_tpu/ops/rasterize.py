@@ -282,10 +282,12 @@ def _composite_fwd_impl(feat, point_list, pair_valid, tile_start, tile_count,
         om = 1.0 - alpha
         T_before = T_run[..., None] * _exclusive_cumprod(om, axis=-1)
         # CUDA stop: first valid g with T(1-a) < 1e-4 halts the pixel; that
-        # gaussian itself does not contribute (forward.cu:536-541).
+        # gaussian itself does not contribute (forward.cu:536-541).  T is
+        # monotone non-increasing along the chunk, so every valid lane at
+        # or after the first stop fires its OWN stop test — the inclusive
+        # cumsum over stops is redundant (see pallas_raster._fwd_kernel).
         stop = vc & (T_before * (1.0 - ct["alpha_raw"]) < STOP_T)
-        stopped_incl = jnp.cumsum(stop.astype(jnp.int32), axis=-1) >= 1
-        contrib = vc & (~stopped_incl) & (~stopped[..., None])
+        contrib = vc & (~stop) & (~stopped[..., None])
         w = jnp.where(contrib, T_before * alpha, 0.0)
 
         pos = (chunk_idx * C + jnp.arange(C, dtype=jnp.int32))[None, None, :]
@@ -686,6 +688,9 @@ def render(means3d, scales, quats, opacities, shs, camera, bg=None, *,
     # 256-wide pallas chunks halve the kernel grid-step count (and its
     # fixed per-step cost) whenever the compositing window allows it
     lanes = 256 if max_per_tile % 256 == 0 else 128
+    # the aligned slab is consumed in (lanes)-wide blocks — its pair region
+    # must be a whole number of blocks (matters only for tiny pair_cap)
+    pair_cap = ((pair_cap + lanes - 1) // lanes) * lanes
     bng = B.bin_gaussians(bin_m2d, pre.radii, pre.depths, width, bin_h,
                           pair_cap, max_per_tile=max_per_tile, align=lanes)
     statics = RasterStatics(width=width, height=height,

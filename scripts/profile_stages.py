@@ -100,13 +100,13 @@ def main(pair_cap_log2=18, max_per_tile=1024):
     slab, _ = timed(slab_fn, p.v2g_mb, p.rgb, opa_flat, p.conic, p.means2d,
                     bng.point_list, label="build_slab")
     print(f"    slab shape {slab.shape}  {slab.size * 4 / 1e6:.1f} MB")
-    ablk = bng.tile_start // PR.C
+    tstart = bng.tile_start
     roff = jnp.zeros((), jnp.int32)
 
     # --- forward kernel alone
-    fwd_fn = jax.jit(lambda w, tc, ab: PR._run_forward(w, tc, ab, roff,
+    fwd_fn = jax.jit(lambda w, tc, ts: PR._run_forward(w, tc, ts, roff,
                                                        statics))
-    (outf, outi), _ = timed(fwd_fn, slab, bng.tile_count, ablk,
+    (outf, outi), _ = timed(fwd_fn, slab, bng.tile_count, tstart,
                             label="fwd kernel alone")
 
     # --- backward kernel alone
@@ -119,9 +119,9 @@ def main(pair_cap_log2=18, max_per_tile=1024):
     bwi = jnp.zeros((T_tiles, PR.PIX, 8), jnp.int32)
     bwi = bwi.at[..., 0].set(outi[..., 0])
     bwi = bwi.at[..., 1].set(outi[..., 1])
-    bwd_fn = jax.jit(lambda w, tc, ab, g, bf, bi: PR._run_backward(
-        w, tc, ab, roff, g, bf, bi, statics))
-    dwin, _ = timed(bwd_fn, slab, bng.tile_count, ablk, gl, bwf, bwi,
+    bwd_fn = jax.jit(lambda w, tc, ts, g, bf, bi: PR._run_backward(
+        w, tc, ts, roff, g, bf, bi, statics))
+    dwin, _ = timed(bwd_fn, slab, bng.tile_count, tstart, gl, bwf, bwi,
                     label="bwd kernel alone")
     print(f"    dwin shape {dwin.shape}  {dwin.size * 4 / 1e6:.1f} MB")
 

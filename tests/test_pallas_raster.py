@@ -102,8 +102,17 @@ class TestPallasVsXla:
             np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                        atol=5e-3 * scale)
 
-    def test_bad_max_per_tile_raises(self, rng):
+    def test_non_multiple_max_per_tile_works(self, rng):
+        """The block-compacted grid caps per-tile counts with lane masks,
+        so max_per_tile need not divide the lane width (the old kernel
+        raised here)."""
         cam, cloud = _setup(rng, n=8)
-        with pytest.raises(ValueError, match="max_per_tile"):
-            _run(cam, cloud, "pallas", jnp.zeros((9, 32, 32)),
-                 jnp.zeros(3), pair_cap=1 << 10, max_per_tile=100, chunk=32)
+        w9 = jnp.zeros((9, 32, 32))
+        # xla scan still needs chunk-divisible mpt; per-tile counts here are
+        # far below both caps so the two configs composite identical pairs
+        _, out_x, _ = _run(cam, cloud, "xla", w9, jnp.zeros(3),
+                           pair_cap=1 << 10, max_per_tile=128, chunk=32)
+        _, out_p, _ = _run(cam, cloud, "pallas", w9, jnp.zeros(3),
+                           pair_cap=1 << 10, max_per_tile=100, chunk=32)
+        np.testing.assert_allclose(np.asarray(out_p["out9"]),
+                                   np.asarray(out_x["out9"]), atol=1e-4)
