@@ -89,10 +89,12 @@ def main():
             f"pallas-vs-xla on-device parity broke: max={parity_max_err} "
             f"frac>1e-3={frac_off}")
 
-    # compile + warmup
+    # compile + warmup (two calls: the second absorbs any lazy re-layout)
     out = fwd_bwd(*args)
     jax.block_until_ready(out)
-    iters = 10
+    out = fwd_bwd(*args)
+    jax.block_until_ready(out)
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd_bwd(*args)
