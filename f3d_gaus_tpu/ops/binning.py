@@ -7,15 +7,15 @@ static shapes, so this module re-designs that as:
 
   * a static pair capacity `pair_cap` (over-allocate + mask) — the analog of
     the reference's resizeFunctional closures (rasterize_points.cu:28-34);
-  * DEPTH-RANK RELABELING: the P gaussians are depth-sorted ONCE (P-sized
-    sort, ~20x smaller than the pair list), and every pair carries the
-    gaussian's depth RANK instead of its float depth — and the float depth
-    key itself is sorted as a BITCAST int32 (monotone for non-negative
-    IEEE floats; f32 comparators are ~20x slower than s32 on TPU);
-  * ONE packed int32 pair key `tile * 2^ceil_log2(P) + rank` (exactly the
-    reference's 64-bit tile<<32|depth key, in 31 bits) sorted as a single
-    array — rank and gaussian id are DECODED from the key after the sort
-    instead of riding along as extra sort operands;
+  * DEPTH-RANK-MAJOR EXPANSION: the P gaussians are depth-sorted ONCE
+    (P-sized sort, ~20x smaller than the pair list; the float depth key
+    is sorted as a BITCAST int32 — monotone for non-negative IEEE floats,
+    and f32 comparators are ~20x slower than s32 on TPU), and pairs are
+    expanded in that order, so the expansion SLOT index itself is a
+    monotone depth tiebreak — no explicit rank array is materialized;
+  * ONE packed int32 pair key `tile * 2^ceil_log2(pair_cap) + slot`
+    (exactly the reference's 64-bit tile<<32|depth key, in 31 bits)
+    sorted as a single array with the gaussian id as payload;
   * per-slot step functions (segment start, packed rect) recovered by rank
     GATHERS from P-sized tables after one scatter+cumsum builds the rank
     map — replacing four scatter+cumsum fill-forward passes;
@@ -143,15 +143,8 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     total = offsets[-1] if P > 0 else jnp.int32(0)
     overflow = total > pair_cap
 
-    # Slot j belongs to rank r = (number of segment starts at or before j)
-    # - 1.  Empty segments (culled gaussians) scatter a duplicate mark at
-    # the next non-empty segment's start; the cumsum counts them, keeping
-    # rank a GLOBAL index into the depth order (regression:
-    # tests/test_rasterize_parity.py::test_culled_gaussian_between_visible).
     slots = jnp.arange(pair_cap, dtype=jnp.int32)
     starts = offsets - count                          # exclusive offsets
-    marks = jnp.zeros(pair_cap, jnp.int32).at[starts].add(1, mode='drop')
-    rank = jnp.cumsum(marks) - 1
     pair_valid = slots < total
 
     # Per-slot step functions via fill-forward (scatter diffs + integrate).
@@ -187,22 +180,27 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     delta = slots - start_f
     tile = base_f + delta % rectw_f + (delta // rectw_f) * grid_x
 
-    # --- ONE packed int32 sort key: tile * 2^bits(P) + rank; gaussian id
-    # rides as the payload array (f32-keyed or 3-array sorts are slower)
-    rank_bits = max(int(P - 1).bit_length(), 1)
+    # --- ONE packed int32 sort key: tile * 2^bits(pair_cap) + SLOT.  The
+    # expansion slots are already rank-major (slot index is monotone in
+    # the gaussian's global depth rank, and a gaussian appears at most
+    # once per tile), so the slot itself is a valid — and unique, hence
+    # deterministic — depth tiebreak; no rank array or marks cumsum is
+    # ever materialized.  Gaussian id rides as the payload array
+    # (f32-keyed or 3-array sorts are slower).
+    slot_bits = max(int(pair_cap - 1).bit_length(), 1)
     tile_bits = int(num_tiles).bit_length()
-    if rank_bits + tile_bits <= 31:
-        rmod = jnp.int32(1 << rank_bits)
-        key = jnp.where(pair_valid, tile * rmod + rank, INT32_MAX)
+    if slot_bits + tile_bits <= 31:
+        smod = jnp.int32(1 << slot_bits)
+        key = jnp.where(pair_valid, tile * smod + slots, INT32_MAX)
         key_s, gid_s = jax.lax.sort((key, gid_f), num_keys=1)
         valid_s = key_s != INT32_MAX
-        tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * rmod
+        tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * smod
         bounds = jnp.searchsorted(key_s, tile_bounds,
                                   side='left').astype(jnp.int32)
     else:
-        # wide fallback (huge P x huge grid): classic 2-key sort
+        # wide fallback (huge pair_cap x huge grid): classic 2-key sort
         tile_k = jnp.where(pair_valid, tile, num_tiles)
-        tile_s, _, gid_s = jax.lax.sort((tile_k, rank, gid_f), num_keys=2)
+        tile_s, _, gid_s = jax.lax.sort((tile_k, slots, gid_f), num_keys=2)
         valid_s = tile_s < num_tiles
         tgrid = jnp.arange(num_tiles + 1, dtype=jnp.int32)
         bounds = jnp.searchsorted(tile_s, tgrid, side='left').astype(jnp.int32)
