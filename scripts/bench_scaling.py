@@ -1,10 +1,29 @@
 """rays/s scaling of the tile+gaussian-sharded renderer over a device mesh.
 
-Two modes:
+Modes:
   python scripts/bench_scaling.py cpu    # 1..8 virtual CPU devices —
       validates the SHAPE of the scaling curve (collective overheads vs
       band compute) where no multi-chip TPU hardware is available
   python scripts/bench_scaling.py tpu    # single real chip rays/s anchor
+  python scripts/bench_scaling.py tpu --multihost
+      # multi-host slice: calls parallel.mesh.distributed_init() (env-var
+      # driven: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+      # JAX_PROCESS_ID) and meshes over every process's devices.
+      # UNTESTABLE on this single-host box — the flag exists so a pod run
+      # is one env-var setup away; see BASELINE.md for the caveat.
+
+MEASUREMENT CAVEAT (cpu mode): the 8 "devices" are XLA host-platform
+virtual devices sharing one physical CPU's cores.  Efficiency numbers
+therefore measure mostly core contention, NOT interconnect behavior, and
+are NOT evidence for or against the >=80%-linear ICI target — only the
+curve's qualitative shape (does sharding the bands + gathering the
+feature table function and roughly amortize) is meaningful.  Real
+scaling must be measured on a multi-chip slice.
+
+Per device count the script also times the gaussian_shard=False variant
+(every device redoes the full preprocess; NO all_gather) — the delta
+isolates the collective cost (all_gather fwd + reduce_scatter bwd) from
+band compute.
 
 rays/s counts forward+backward through every pixel ray of a 256^2 frame
 (65,536 rays/frame).  The sharded program is parallel/sharded.py:
@@ -16,7 +35,9 @@ import os
 import sys
 import time
 
-MODE = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+ARGS = sys.argv[1:]
+MODE = ARGS[0] if ARGS else "cpu"
+MULTIHOST = "--multihost" in ARGS
 if MODE == "cpu":
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
@@ -65,7 +86,7 @@ def timed(fn, *args, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_devices(n_dev, cam, cloud, caps, res):
+def bench_devices(n_dev, cam, cloud, caps, res, gaussian_shard=True):
     bg = jnp.zeros(3, jnp.float32)
     w9 = jnp.asarray(np.random.default_rng(1).normal(
         size=(9, res, res)).astype(np.float32))
@@ -86,36 +107,65 @@ def bench_devices(n_dev, cam, cloud, caps, res):
 
     def loss(*c):
         out = sharded.render_tile_sharded(mesh, "tile", *c, cam, bg,
-                                          gaussian_shard=True, **kw_s)
+                                          gaussian_shard=gaussian_shard,
+                                          **kw_s)
         return jnp.sum(out["out9"] * w9)
     fb = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
     return timed(fb, *cloud)
 
 
 def main():
+    if MULTIHOST:
+        from f3d_gaus_tpu.parallel import mesh as M
+        initialized = M.distributed_init()
+        print(f"multihost: distributed_init -> {initialized}, "
+              f"process {jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
+
     res = 256
     cam, cloud = make_scene(res)
     caps = rasterize.plan_caps(*cloud[:4], cam)
     rays = res * res
 
-    if MODE == "tpu":
+    if MODE == "tpu" and not MULTIHOST:
         counts = [1]
     else:
-        counts = [1, 2, 4, 8]
+        counts = sorted({1, 2, 4, len(jax.devices())})
     results = []
     base = None
     for n in counts:
+        if n > len(jax.devices()):
+            continue
         dt = bench_devices(n, cam, cloud, caps, res)
         rps = rays / dt
         if base is None:
             base = rps
         eff = rps / (base * n)
-        results.append({"devices": n, "rays_per_s": round(rps),
-                        "ms_per_frame": round(dt * 1e3, 2),
-                        "scaling_efficiency": round(eff, 3)})
-        print(json.dumps(results[-1]))
+        rec = {"devices": n, "rays_per_s": round(rps),
+               "ms_per_frame": round(dt * 1e3, 2),
+               "scaling_efficiency": round(eff, 3)}
+        if n > 1:
+            # collective-cost decomposition: gaussian_shard=False removes
+            # the all_gather/reduce_scatter (preprocess replicated), so
+            # the delta isolates collective time from band compute
+            dt_ns = bench_devices(n, cam, cloud, caps, res,
+                                  gaussian_shard=False)
+            rec["ms_no_gaussian_shard"] = round(dt_ns * 1e3, 2)
+            rec["ms_collective_delta"] = round((dt - dt_ns) * 1e3, 2)
+        results.append(rec)
+        print(json.dumps(rec))
     out = {"mode": MODE, "resolution": res, "rays_per_frame": rays,
-           "fwd_bwd": True, "results": results}
+           "fwd_bwd": True, "multihost": MULTIHOST, "results": results,
+           "methodology_caveat": (
+               "cpu mode runs 8 XLA host-platform virtual devices on ONE "
+               "physical CPU's shared cores: efficiency measures core "
+               "contention, not interconnect, and is NOT evidence for or "
+               "against the >=80% ICI-linear target; only the functional "
+               "shape of the curve is meaningful. ms_collective_delta "
+               "(sharded-preprocess all_gather + grad reduce_scatter vs "
+               "replicated preprocess) separates collective cost from "
+               "band compute. Real scaling requires a multi-chip slice "
+               "(run with --multihost on a pod).")}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"SCALING_{MODE}.json")
     with open(path, "w") as f:
