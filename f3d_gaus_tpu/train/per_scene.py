@@ -371,12 +371,14 @@ def reset_opacity(scene: SceneParams, opt: AdamState):
 
 def fit_scene(cameras, targets, init_points, init_colors,
               cfg: PerSceneConfig, bg=None, extent: float | None = None,
-              seed: int = 0, log_every: int = 0):
+              seed: int = 0, log_every: int = 0, gui=None):
     """Full training loop (train.py:51-132): random camera order, render,
     loss, densify/prune window, opacity resets, SH-degree warmup.
 
     cameras: list of core.cameras.Camera; targets: (V, 3, H, W) float32.
-    Returns (scene, history dict).
+    gui: optional utils.network_gui.NetworkGUI, polled every iteration
+    with a live-scene render closure (the reference's viewer hook,
+    train.py:52-65).  Returns (scene, history dict).
     """
     rng = np.random.default_rng(seed)
     scene = init_scene(init_points, init_colors, cfg)
@@ -417,4 +419,21 @@ def fit_scene(cameras, targets, init_points, init_colors,
         if log_every and it % log_every == 0:
             hist["loss"].append(float(aux["loss"]))
             hist["alive"].append(int(np.asarray(scene.alive).sum()))
+        if gui is not None:
+            gui.poll(lambda vc: _gui_render(scene, vc, bg, cfg, active_sh))
     return scene, hist
+
+
+def _gui_render(scene: SceneParams, viewer_cam: dict, bg, cfg, active_sh):
+    """Render the live scene for a network_gui viewer camera dict
+    (the viewer's custom_cam path, train.py:54-58)."""
+    from ..core.cameras import Camera
+    wv = viewer_cam["world_view"]
+    cam = Camera(
+        world_view=wv, full_proj=viewer_cam["full_proj"],
+        cam_center=np.linalg.inv(wv)[3, :3].astype(np.float32),
+        width=viewer_cam["width"], height=viewer_cam["height"],
+        tan_fovx=float(np.tan(viewer_cam["fov_x"] / 2)),
+        tan_fovy=float(np.tan(viewer_cam["fov_y"] / 2)))
+    out = render_scene(scene, cam, cfg, jnp.asarray(bg), active_sh)
+    return np.asarray(out["render"])

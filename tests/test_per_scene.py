@@ -162,3 +162,39 @@ class TestFit:
         p0 = float(losses.psnr(out0[None], targets[0][None])[0])
         p1 = float(losses.psnr(out1[None], targets[0][None])[0])
         assert p1 > p0 + 2.0, (p0, p1)
+
+
+class TestNetworkGUIBridge:
+    def test_gui_render_from_viewer_request(self, rng):
+        """A viewer-protocol camera dict renders the live scene through the
+        network_gui bridge (train.py:54-58 custom_cam path)."""
+        from f3d_gaus_tpu.utils.network_gui import parse_request
+        pts = (rng.normal(size=(30, 3)) * 0.3 + [0, 0, 7.667]).astype(np.float32)
+        cols = rng.uniform(size=(30, 3)).astype(np.float32)
+        cfg = small_cfg()
+        s = PS.init_scene(pts, cols, cfg, cap=128)
+        cam = make_views(1, res=32)[0]
+        wv = np.asarray(cam.world_view, np.float32).copy()
+        fp = np.asarray(cam.full_proj, np.float32).copy()
+        # undo the flips parse_request will apply, so the bridge sees the
+        # canonical camera
+        req = {
+            "resolution_x": 32, "resolution_y": 32, "train": True,
+            "fov_x": 2 * np.arctan(cam.tan_fovx),
+            "fov_y": 2 * np.arctan(cam.tan_fovy),
+            "z_near": 0.2, "z_far": 100.0, "shs_python": False,
+            "rot_scale_python": False, "keep_alive": True,
+            "scaling_modifier": 1.0,
+            "view_matrix": (wv * np.array([1, -1, -1, 1], np.float32)
+                            ).reshape(-1).tolist(),
+            "view_projection_matrix": (fp * np.array([1, -1, -1, 1],
+                                                     np.float32)
+                                       ).reshape(-1).tolist(),
+        }
+        vc = parse_request(req)
+        np.testing.assert_allclose(vc["world_view"], wv, atol=1e-6)
+        img = PS._gui_render(s, vc, np.zeros(3, np.float32), cfg, 0)
+        assert img.shape == (3, 32, 32)
+        assert np.isfinite(img).all()
+        ref = PS.render_scene(s, cam, cfg, jnp.zeros(3), 0)["render"]
+        np.testing.assert_allclose(img, np.asarray(ref), atol=1e-5)
