@@ -20,6 +20,18 @@ parallelism here (SURVEY.md §2.4 items 1, 2, 5):
 
 Everything is expressed with shard_map over a named mesh axis; XLA lowers
 the collectives onto ICI and overlaps them with the band compute.
+
+COLLECTIVE/COMPUTE OVERLAP.  The all_gather of the feature table and the
+reduce_scatter of its gradient are not hand-scheduled: XLA:TPU's latency-
+hiding scheduler converts them to async collective-start/done pairs and
+hoists the starts above independent band compute (the binning sort and
+the first compositing chunks do not depend on the remote shards' rows
+beyond the local ones).  `overlap_flags()` below returns the XLA flags
+that widen this window; on a real slice, verify with the profiler
+(utils/profiling.py trace + Perfetto: the all-gather-start should overlap
+the binning stream).  On this box the collective path is only functional-
+tested (8 virtual CPU devices; see SCALING_cpu.json's methodology_caveat
+and the ms_collective_delta decomposition).
 """
 from __future__ import annotations
 
@@ -32,6 +44,19 @@ from jax.sharding import PartitionSpec as P
 
 from ..core import gaussians as G
 from ..ops import rasterize
+
+
+def overlap_flags() -> str:
+    """XLA_FLAGS fragment that widens async-collective overlap on TPU.
+
+    Append to XLA_FLAGS before importing jax on a pod run (these are
+    scheduler hints, not correctness switches; all are no-ops on CPU):
+    continuation fusion turns all-gather/reduce-scatter into start/done
+    pairs the latency-hiding scheduler can hoist across the band compute.
+    """
+    return ("--xla_tpu_enable_async_collective_fusion=true "
+            "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true "
+            "--xla_tpu_overlap_compute_collective_tc=true")
 
 
 def _band_composite(allf, means2d, radii, depths, camera, bg, row_off,
