@@ -142,3 +142,51 @@ class TestCheckpoint:
         back = CK.restore(path, template=s)
         np.testing.assert_array_equal(np.asarray(back.xyz), np.asarray(s.xyz))
         assert bool((np.asarray(back.alive) == np.asarray(s.alive)).all())
+
+
+class TestReferenceFixtures:
+    @pytest.mark.slow
+    def test_cli_on_reference_demo_images(self, tmp_path, monkeypatch):
+        """End-to-end on the REFERENCE repo's own demo fixtures
+        (images/1, the scripts/test_nvs.sh inputs) — real 256x256 ImageNet
+        RGB + 16-bit depth pairs, not synthetic data.  Skipped when the
+        reference snapshot is not mounted."""
+        ref = "/root/reference/images/1"
+        if not os.path.isdir(ref):
+            pytest.skip("reference snapshot not mounted")
+        import dataclasses
+        import shutil
+        import yaml
+        from f3d_gaus_tpu.pipeline import config as C
+        demo = tmp_path / "imgs"
+        demo.mkdir()
+        names = sorted(f for f in os.listdir(ref)
+                       if not f.endswith("_depth.png"))[:2]
+        for n in names:
+            root = os.path.splitext(n)[0]
+            shutil.copy(os.path.join(ref, n), demo / n)
+            shutil.copy(os.path.join(ref, root + "_depth.png"),
+                        demo / (root + "_depth.png"))
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump({
+                "model": {"training_resolution": 64, "base_dim": 32,
+                          "num_blocks": 1, "attention_resolutions": [8]},
+            }, f)
+        orig = C.from_yaml
+        monkeypatch.setattr(C, "from_yaml", lambda p: dataclasses.replace(
+            orig(p), pair_cap=1 << 14, max_per_tile=128, chunk=32,
+            num_aggregation_views=2, num_nvs_views=2))
+        from f3d_gaus_tpu import cli
+        out = str(tmp_path / "out")
+        cli.main(["--folder", str(demo), "--output_path", out,
+                  "--config", cfg_path, "--batch_size", "2",
+                  "--skip_mesh", "--max_batches", "1"])
+        d0 = os.path.join(out, "00_00")
+        assert any(f.startswith("nvs.") for f in os.listdir(d0))
+        from f3d_gaus_tpu.io import ply
+        g = ply.read_gaussian_ply(os.path.join(d0, "gaussians.ply"))
+        # 2 aggregation views x (1 + 1 cycle) predictor outputs per image,
+        # pixel-aligned at 64^2 -> at least 64*64 points, all finite
+        assert g["xyz"].shape[0] >= 64 * 64
+        assert np.isfinite(g["xyz"]).all()
