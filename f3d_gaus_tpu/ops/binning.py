@@ -188,6 +188,7 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
     # ever materialized.  Gaussian id rides as the payload array
     # (f32-keyed or 3-array sorts are slower).
     slot_bits = max(int(pair_cap - 1).bit_length(), 1)
+    rank_bits = max(int(P - 1).bit_length(), 1)
     tile_bits = int(num_tiles).bit_length()
     if slot_bits + tile_bits <= 31:
         smod = jnp.int32(1 << slot_bits)
@@ -197,8 +198,24 @@ def bin_gaussians(means2d: jnp.ndarray, radii: jnp.ndarray, depths: jnp.ndarray,
         tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * smod
         bounds = jnp.searchsorted(key_s, tile_bounds,
                                   side='left').astype(jnp.int32)
+    elif rank_bits + tile_bits <= 31:
+        # large frame x large pair_cap: the slot doesn't fit next to the
+        # tile bits, but the gaussian's global depth RANK (bits(P) <=
+        # bits(pair_cap)) does — materialize it with one marks cumsum
+        # (the only path that pays this extra pass) and keep the fast
+        # packed single-key sort
+        marks = jnp.zeros(pair_cap, jnp.int32).at[starts].add(1,
+                                                             mode='drop')
+        rank = jnp.cumsum(marks) - 1
+        rmod = jnp.int32(1 << rank_bits)
+        key = jnp.where(pair_valid, tile * rmod + rank, INT32_MAX)
+        key_s, gid_s = jax.lax.sort((key, gid_f), num_keys=1)
+        valid_s = key_s != INT32_MAX
+        tile_bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * rmod
+        bounds = jnp.searchsorted(key_s, tile_bounds,
+                                  side='left').astype(jnp.int32)
     else:
-        # wide fallback (huge pair_cap x huge grid): classic 2-key sort
+        # wide fallback (huge P x huge grid): classic 2-key sort
         tile_k = jnp.where(pair_valid, tile, num_tiles)
         tile_s, _, gid_s = jax.lax.sort((tile_k, slots, gid_f), num_keys=2)
         valid_s = tile_s < num_tiles

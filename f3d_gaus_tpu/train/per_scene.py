@@ -155,12 +155,14 @@ def activated(scene: SceneParams) -> dict:
 
 
 def render_scene(scene: SceneParams, camera, cfg: PerSceneConfig, bg,
-                 active_sh_degree: int, means2d_stats=None):
+                 active_sh_degree: int, means2d_stats=None,
+                 scale_modifier: float = 1.0):
     g = activated(scene)
     return rasterize.render(
         g["xyz"], g["scaling"], g["rotation"], g["opacity"], g["shs"],
         camera, bg, sh_degree=active_sh_degree,
-        kernel_size=cfg.kernel_size, pair_cap=cfg.pair_cap,
+        kernel_size=cfg.kernel_size, scale_modifier=scale_modifier,
+        pair_cap=cfg.pair_cap,
         max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
         means2d_stats=means2d_stats, mask=scene.alive)
 
@@ -426,7 +428,9 @@ def fit_scene(cameras, targets, init_points, init_colors,
 
 def _gui_render(scene: SceneParams, viewer_cam: dict, bg, cfg, active_sh):
     """Render the live scene for a network_gui viewer camera dict
-    (the viewer's custom_cam path, train.py:54-58)."""
+    (the viewer's custom_cam path, train.py:54-58).  The viewer's
+    scaling_modifier drives the gaussian-scale slider; its z_near/z_far
+    are honored through the full_proj matrix it sends."""
     from ..core.cameras import Camera
     wv = viewer_cam["world_view"]
     cam = Camera(
@@ -435,5 +439,7 @@ def _gui_render(scene: SceneParams, viewer_cam: dict, bg, cfg, active_sh):
         width=viewer_cam["width"], height=viewer_cam["height"],
         tan_fovx=float(np.tan(viewer_cam["fov_x"] / 2)),
         tan_fovy=float(np.tan(viewer_cam["fov_y"] / 2)))
-    out = render_scene(scene, cam, cfg, jnp.asarray(bg), active_sh)
+    out = render_scene(scene, cam, cfg, jnp.asarray(bg), active_sh,
+                       scale_modifier=float(
+                           viewer_cam.get("scaling_modifier", 1.0)))
     return np.asarray(out["render"])

@@ -37,16 +37,18 @@ import socket
 import numpy as np
 
 
-def _apply_viewer_flips(m):
-    m = np.asarray(m, np.float32).reshape(4, 4)
-    m[:, 1] = -m[:, 1]
-    m[:, 2] = -m[:, 2]
+def _flip_cols(m, cols):
+    m = np.array(m, np.float32, copy=True).reshape(4, 4)
+    for c in cols:
+        m[:, c] = -m[:, c]
     return m
 
 
 def parse_request(message: dict):
     """JSON request -> camera dict (or None for the 0x0 keep-alive ping).
-    Mirrors network_gui.receive (network_gui.py:57-86)."""
+    Mirrors network_gui.receive (network_gui.py:57-86): the viewer's
+    view matrix gets columns 1 AND 2 negated (:75-76) but the
+    view-projection matrix only column 1 (:78)."""
     width = int(message["resolution_x"])
     height = int(message["resolution_y"])
     if width == 0 or height == 0:
@@ -61,8 +63,8 @@ def parse_request(message: dict):
         "train": bool(message["train"]),
         "keep_alive": bool(message["keep_alive"]),
         "scaling_modifier": float(message.get("scaling_modifier", 1.0)),
-        "world_view": _apply_viewer_flips(message["view_matrix"]),
-        "full_proj": _apply_viewer_flips(message["view_projection_matrix"]),
+        "world_view": _flip_cols(message["view_matrix"], (1, 2)),
+        "full_proj": _flip_cols(message["view_projection_matrix"], (1,)),
     }
 
 
@@ -134,7 +136,11 @@ class NetworkGUI:
             payload = encode_image(render_fn(cam)) if cam else None
             self._send(payload, verify)
             return True
-        except (ConnectionError, OSError, json.JSONDecodeError):
+        except Exception:
+            # a malformed request or a render failure must never kill the
+            # training loop (the reference wraps its GUI block in a broad
+            # except and drops the connection, train.py:63-65); the viewer
+            # simply reconnects
             try:
                 self.conn.close()
             finally:

@@ -99,6 +99,13 @@ def bench_devices(n_dev, cam, cloud, caps, res, gaussian_shard=True):
         return timed(fb, *cloud)
 
     mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("tile",))
+    # replicate the cloud as GLOBAL arrays on the mesh — required under
+    # --multihost (process-local arrays cannot feed a global-mesh
+    # shard_map; every process holds identical seeded data), harmless
+    # single-host
+    from jax.sharding import NamedSharding, PartitionSpec
+    repl = NamedSharding(mesh, PartitionSpec())
+    cloud = [jax.device_put(c, repl) for c in cloud]
     # per-device pair capacity shrinks with the band
     kw_s = dict(kw)
     kw_s["pair_cap"] = max(
@@ -127,7 +134,13 @@ def main():
     caps = rasterize.plan_caps(*cloud[:4], cam)
     rays = res * res
 
-    if MODE == "tpu" and not MULTIHOST:
+    if MULTIHOST:
+        # only the FULL global mesh is valid multi-host: a sub-count mesh
+        # would contain only process-0's devices while every process runs
+        # the program (non-addressable placement error); per-device-count
+        # curves come from single-host runs
+        counts = [len(jax.devices())]
+    elif MODE == "tpu":
         counts = [1]
     else:
         counts = sorted({1, 2, 4, len(jax.devices())})

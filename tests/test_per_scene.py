@@ -187,12 +187,13 @@ class TestNetworkGUIBridge:
             "scaling_modifier": 1.0,
             "view_matrix": (wv * np.array([1, -1, -1, 1], np.float32)
                             ).reshape(-1).tolist(),
-            "view_projection_matrix": (fp * np.array([1, -1, -1, 1],
+            "view_projection_matrix": (fp * np.array([1, -1, 1, 1],
                                                      np.float32)
                                        ).reshape(-1).tolist(),
         }
         vc = parse_request(req)
         np.testing.assert_allclose(vc["world_view"], wv, atol=1e-6)
+        np.testing.assert_allclose(vc["full_proj"], fp, atol=1e-6)
         img = PS._gui_render(s, vc, np.zeros(3, np.float32), cfg, 0)
         assert img.shape == (3, 32, 32)
         assert np.isfinite(img).all()

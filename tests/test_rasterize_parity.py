@@ -99,6 +99,27 @@ class TestBinningParity:
             np.testing.assert_array_equal(pl[start[t]:start[t] + count[t]],
                                           ids, err_msg=f"tile {t}")
 
+    def test_packed_rank_middle_branch(self, rng):
+        """slot_bits + tile_bits > 31 but rank fits: the packed-rank
+        branch (marks cumsum) must produce identical tile lists to the
+        oracle — large-frame x large-pair_cap configs stay off the slow
+        3-operand wide sort."""
+        width, height = 2048, 32           # 128 x 2 = 256 tiles (9 bits)
+        cam, cloud = _setup(rng, n=32, width=width, height=height)
+        pre = _pre(cam, cloud)
+        lists = rasterize_ref.build_tile_lists(
+            np.asarray(pre.means2d), np.asarray(pre.radii),
+            np.asarray(pre.depths), np.asarray(pre.valid), width, height)
+        # pair_cap 2^23 -> slot 23 + tile 9 = 32 > 31; rank bits(31) = 5
+        bng = binning.bin_gaussians(pre.means2d, pre.radii, pre.depths,
+                                    width, height, pair_cap=1 << 23)
+        pl = np.asarray(bng.point_list)
+        start = np.asarray(bng.tile_start)
+        count = np.asarray(bng.tile_count)
+        for t, ids in enumerate(lists):
+            np.testing.assert_array_equal(pl[start[t]:start[t] + count[t]],
+                                          ids, err_msg=f"tile {t}")
+
     def test_pair_count_and_overflow(self, rng):
         cam, cloud = _setup(rng)
         pre = _pre(cam, cloud)
